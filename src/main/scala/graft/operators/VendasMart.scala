@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Flagship denormalized sales mart — the reference's silver→gold
+  * "vendas" job re-expressed Spark-first over the harness star schema.
+  *
+  * Reference lineage (`/root/reference/scripts/silver_to_gold/
+  * ingestion_vendas_silver_to_gold.py`):
+  *   - scan 5 silver tables + project (`:44-104`)          → pruned parquet scans
+  *   - pivot-sum payments by payment_type (`:91-92`)       → events pivot by event_type
+  *   - 4-way left join onto the item grain (`:107-111`)    → lineitem ⟕ orders ⟕ part ⟕ customer ⟕ pivot
+  *   - fillna(0) on money columns (`:114-120`)             → na.fill(0.0, ...)
+  *   - to-date cast (`:123`), upper (`:126-127`),
+  *     replace "_"↔" " (`:130`)                            → to_date / upper / translate
+  *   - Portuguese rename map (`:133-149`)                  → aliased select
+  *
+  * Scale notes (100 TB design):
+  *   - The pivot is a partial-aggregating hash aggregate on the grouping
+  *     key (map-side combine), shuffled once on `user_id`; the explicit
+  *     value list pins the output schema so no extra distinct-values job
+  *     runs (Spark would otherwise launch one to discover pivot columns).
+  *   - All joins are declarative equi-joins: Catalyst/AQE picks
+  *     broadcast-hash for dimension sides under the threshold and
+  *     sort-merge beyond it; nothing is hand-scheduled.
+  *   - Only referenced columns are selected, so the parquet scans read
+  *     5/11, 3/6, 2/6 and 3/5 columns respectively (visible as ReadSchema
+  *     in `.explain("formatted")`).
+  */
+object VendasMart {
+
+  /** Pivot event amounts per user into one column per event type.
+    * Mirror of the payments pivot-sum (reference `s2g/vendas.py:91-92`).
+    * The explicit value list keeps the schema stable even when a type is
+    * absent at a given scale factor — same reason the reference's fillna
+    * lists all five payment types (`s2g/vendas.py:116-120`).
+    */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  def eventsPivot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .sum("value")
+
+  def mart(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val prt = Tables.part(spark, sfDir)
+      .select("p_partkey", "p_type")
+    val cst = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_mktsegment", "c_nationkey")
+    val evp = eventsPivot(spark, sfDir)
+
+    li
+      .join(ord, li("l_orderkey") === ord("o_orderkey"), "left")
+      .join(prt, li("l_partkey") === prt("p_partkey"), "left")
+      .join(cst, ord("o_custkey") === cst("c_custkey"), "left")
+      .join(evp, ord("o_custkey") === evp("user_id"), "left")
+      .na.fill(0.0, EventTypes)
+      .select(
+        li("l_orderkey").as("PEDIDO"),
+        li("l_linenumber").as("ITEM"),
+        li("l_partkey").as("ID_PRODUTO"),
+        ord("o_custkey").as("ID_CLIENTE"),
+        to_date(ord("o_orderdate")).as("DATA_VENDA"),
+        round(li("l_extendedprice"), 4).as("VALOR_VENDA"),
+        round(li("l_extendedprice") * li("l_discount"), 4).as("VALOR_DESCONTO"),
+        upper(translate(prt("p_type"), " ", "_")).as("CATEGORIA_PRODUTO"),
+        upper(cst("c_mktsegment")).as("SEGMENTO_CLIENTE"),
+        cst("c_nationkey").as("ESTADO_CLIENTE"),
+        round(col("click"), 4).as("VALOR_CLICK"),
+        round(col("error"), 4).as("VALOR_ERROR"),
+        round(col("purchase"), 4).as("VALOR_PURCHASE"),
+        round(col("signup"), 4).as("VALOR_SIGNUP"),
+        round(col("view"), 4).as("VALOR_VIEW"))
+      .orderBy("PEDIDO", "ITEM")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vendas_mart" -> ((s, dir) => mart(s, dir)),
+    "q_pivot_events" -> ((s, dir) =>
+      eventsPivot(s, dir)
+        .na.fill(0.0, EventTypes)
+        .select(
+          col("user_id") +:
+            EventTypes.map(t => round(col(t), 4).as(s"sum_$t")): _*)
+        .orderBy("user_id")))
+
+  private val pivotCase: String = EventTypes
+    .map(t => s"sum(CASE WHEN event_type = '$t' THEN value END) AS $t")
+    .mkString(", ")
+
+  val oracleSql: Map[String, String] = Map(
+    "vendas_mart" ->
+      s"""WITH evp AS (SELECT user_id, $pivotCase FROM events GROUP BY user_id)
+         |SELECT l.l_orderkey AS "PEDIDO",
+         |       l.l_linenumber AS "ITEM",
+         |       l.l_partkey AS "ID_PRODUTO",
+         |       o.o_custkey AS "ID_CLIENTE",
+         |       CAST(o.o_orderdate AS DATE) AS "DATA_VENDA",
+         |       round(l.l_extendedprice, 4) AS "VALOR_VENDA",
+         |       round(l.l_extendedprice * l.l_discount, 4) AS "VALOR_DESCONTO",
+         |       upper(replace(p.p_type, ' ', '_')) AS "CATEGORIA_PRODUTO",
+         |       upper(c.c_mktsegment) AS "SEGMENTO_CLIENTE",
+         |       c.c_nationkey AS "ESTADO_CLIENTE",
+         |       round(coalesce(e.click, 0), 4) AS "VALOR_CLICK",
+         |       round(coalesce(e.error, 0), 4) AS "VALOR_ERROR",
+         |       round(coalesce(e.purchase, 0), 4) AS "VALOR_PURCHASE",
+         |       round(coalesce(e.signup, 0), 4) AS "VALOR_SIGNUP",
+         |       round(coalesce(e.view, 0), 4) AS "VALOR_VIEW"
+         |FROM lineitem l
+         |LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |LEFT JOIN part p ON l.l_partkey = p.p_partkey
+         |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+         |LEFT JOIN evp e ON o.o_custkey = e.user_id
+         |ORDER BY 1, 2""".stripMargin,
+    "q_pivot_events" ->
+      s"""SELECT user_id,
+         |${EventTypes.map(t => s"round(coalesce(sum(CASE WHEN event_type = '$t' THEN value END), 0), 4) AS sum_$t").mkString(",\n")}
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+}
