@@ -1,0 +1,436 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The relational operator sweep — one named query per operator family
+  * from SURVEY.md §2, each with a DuckDB oracle.
+  *
+  * Reference parity rows: projection/rename (`s2g/vendas.py:53,133-149`),
+  * union-all (`b2s/customer.py:58`), scalar date/string/null functions
+  * (`s2g/vendas.py:114-130`), left joins (`s2g/vendas.py:107-111`).
+  * Rows the reference lacks but a complete engine needs (filters, the
+  * other join types, windows, sorts, rollup, sessionization, as-of and
+  * range joins) are exercised here so the whole surface is oracle-checked.
+  *
+  * Every query ends in a deterministic `orderBy`; all double aggregates
+  * are rounded to 4 decimals on BOTH sides so cross-engine float
+  * summation order cannot flip the hash compare.
+  *
+  * Scale notes are per-query in the Scaladoc of each builder.
+  */
+object Relational {
+
+  /** Filter + projection — both pushed into the parquet scan by Catalyst
+    * (visible as PushedFilters/ReadSchema in explain). At 100 TB this is
+    * the difference between reading 3 columns of matching row groups and
+    * reading the table.
+    */
+  def filterProject(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+        col("l_discount") > 0.08)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 4).as("price"),
+        col("l_shipdate"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Projection + rename, the P1/P2 pair (`s2g/vendas.py:53,133-149`). */
+  def projectRename(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey").as("ID_PRODUTO"),
+        upper(col("p_brand")).as("MARCA"),
+        upper(translate(col("p_type"), " ", "_")).as("CATEGORIA"),
+        col("p_size").as("TAMANHO"))
+      .orderBy("ID_PRODUTO")
+
+  /** Scalar function sweep: F1-F4 (`b2s/orders.py:71-75`,
+    * `s2g/vendas.py:123-130`) plus length/substring/concat.
+    */
+  def scalarFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("ano"),
+        month(col("o_orderdate")).as("mes"),
+        to_date(col("o_orderdate")).as("dt"),
+        length(col("o_orderpriority")).as("prio_len"),
+        substring(col("o_orderstatus"), 1, 1).as("st"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+        lower(col("o_orderpriority")).as("prio_lower"))
+      .orderBy("o_orderkey")
+
+  /** TPC-H Q1-shaped pricing summary: partial (map-side) aggregation
+    * combines before the single shuffle on the 2-column grouping key —
+    * the shuffle carries |groups| rows per partition, not |input|.
+    */
+  def aggPricing(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Exact distinct aggregation — expands to a two-phase plan (distinct
+    * shuffle then count). At 100 TB prefer approx_count_distinct unless
+    * exactness is contractual.
+    */
+  def aggDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** Inner join + aggregate. part is the dimension side: Catalyst/AQE
+    * broadcast it below the threshold; beyond it, sort-merge with both
+    * sides shuffled on the key.
+    */
+  def joinInner(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir).filter(col("p_size") >= 25)
+    li.join(p, li("l_partkey") === p("p_partkey"), "inner")
+      .groupBy("p_brand")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  /** Left-semi join (EXISTS): no right payload crosses the join, so the
+    * build side carries keys only.
+    */
+  def joinSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val big = Tables.lineitem(spark, sfDir).filter(col("l_quantity") >= 48)
+    o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("total"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): orders that never shipped an item. */
+  def joinAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderstatus"), round(col("o_totalprice"), 4).as("total"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Left join + null-fill, the F5 pattern (`s2g/vendas.py:114-120`):
+    * orders with no items get 0 instead of NULL.
+    */
+  def joinLeftFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val agg = Tables.lineitem(spark, sfDir)
+      .groupBy("l_orderkey")
+      .agg(sum("l_extendedprice").as("items_total_raw"), count(lit(1)).as("n_raw"))
+    o.join(agg, o("o_orderkey") === agg("l_orderkey"), "left")
+      .select(col("o_orderkey"),
+        round(coalesce(col("items_total_raw"), lit(0.0)), 4).as("items_total"),
+        coalesce(col("n_raw"), lit(0L)).as("n_items"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Union-all with by-name alignment — the pandas `concat` semantics of
+    * the bronze ingest (`b2s/customer.py:58`): the second branch's
+    * columns arrive in a different order and must align by name.
+    */
+  def unionAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val hi = o.filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("price"), lit("HI").as("bucket"))
+    val lo = o.filter(col("o_totalprice") < 50000)
+      .select(lit("LO").as("bucket"), col("o_orderkey"), round(col("o_totalprice"), 4).as("price"))
+    hi.unionByName(lo).orderBy("o_orderkey")
+  }
+
+  /** Distinct = group-by-all-columns; one shuffle on the pair. */
+  def distinctPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Top-k: Spark plans orderBy+limit as TakeOrderedAndProject — each
+    * partition keeps k rows, the driver merges; no global sort at scale.
+    */
+  def sortLimit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), round(col("l_extendedprice"), 4).as("price"))
+      .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  /** Top-k per group via row_number — the unique (orderkey, linenumber)
+    * tiebreak makes ranking deterministic in both engines.
+    */
+  def windowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("l_returnflag"), col("rn"), col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 4).as("price"))
+      .orderBy("l_returnflag", "rn")
+  }
+
+  /** Running sum with an explicit ROWS frame — the frame pins the
+    * accumulation order, so both engines add the same doubles in the
+    * same sequence.
+    */
+  def windowRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), to_date(col("o_orderdate")).as("dt"),
+        round(sum(col("o_totalprice")).over(w), 4).as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Rollup (hierarchical grouping sets) — one pass, Catalyst expands to
+    * a single Expand + aggregate, not three scans.
+    */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Tumbling-window aggregation over event time — the batch shape of
+    * the Structured Streaming windowed agg in graft.streaming.
+    */
+  def timeWindowAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("day", "event_type")
+
+  /** Sessionization (gaps-and-islands): 30-minute inactivity gap starts
+    * a new session. Two windows over ONE shuffle on user_id (same
+    * partitioning, Catalyst reuses the exchange), then a partial-agg
+    * rollup per session.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = 1800L * 1000000L
+    Tables.events(spark, sfDir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("sess_seq",
+        sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_seq")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("sum_value"),
+        min("ts").as("session_start"),
+        max("ts").as("session_end"))
+      .orderBy("user_id", "sess_seq")
+  }
+
+  /** As-of join: latest order at-or-before each event, per user — see
+    * AsOfJoin for the single-shuffle union+sweep plan.
+    */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
+    val o = Tables.orders(spark, sfDir)
+    AsOfJoin.leftAsOf(e, "user_id", "ts", o, "o_custkey", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice"), "o_orderkey")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("o_orderkey").as("last_orderkey"),
+        round(col("o_totalprice"), 4).as("last_totalprice"))
+      .orderBy("event_id")
+  }
+
+  /** Range join via time binning: pairs of events by the same user within
+    * 5 minutes. The naive `a JOIN b ON user AND |a.ts-b.ts|<=5min` is an
+    * equi-join on user with a residual range filter — per-user quadratic,
+    * which dies on heavy users at scale. Binning ts to 5-minute buckets
+    * and exploding one side over {bin-1, bin, bin+1} turns it into a pure
+    * equi-join on (user, bin): each candidate pair is generated exactly
+    * once and the pair space is bounded by bucket occupancy, not user
+    * volume.
+    */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val binUs = 300L * 1000000L
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (unix_micros(col("ts")) / binUs).cast("long").as("bin"))
+    val a = e.withColumn("jbin", explode(array(col("bin") - 1, col("bin"), col("bin") + 1)))
+      .select(col("user_id").as("a_user"), col("event_id").as("a_id"),
+        col("ts").as("a_ts"), col("jbin"))
+    val b = e.select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+      col("ts").as("b_ts"), col("bin").as("b_bin"))
+    a.join(b, col("a_user") === col("b_user") && col("jbin") === col("b_bin"), "inner")
+      .filter(col("a_id") < col("b_id") &&
+        abs(unix_micros(col("a_ts")) - unix_micros(col("b_ts"))) <= binUs)
+      .select(col("a_id"), col("b_id"), col("a_user").as("user_id"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_project" -> (filterProject _),
+    "q_project_rename" -> (projectRename _),
+    "q_scalar_funcs" -> (scalarFuncs _),
+    "q_agg_pricing" -> (aggPricing _),
+    "q_agg_distinct" -> (aggDistinct _),
+    "q_join_inner" -> (joinInner _),
+    "q_join_semi" -> (joinSemi _),
+    "q_join_anti" -> (joinAnti _),
+    "q_join_left_fill" -> (joinLeftFill _),
+    "q_union_all" -> (unionAll _),
+    "q_distinct" -> (distinctPairs _),
+    "q_sort_limit" -> (sortLimit _),
+    "q_window_rank" -> (windowRank _),
+    "q_window_running" -> (windowRunning _),
+    "q_rollup" -> (rollupAgg _),
+    "q_time_window_agg" -> (timeWindowAgg _),
+    "q_sessionize" -> (sessionize _),
+    "q_asof_join" -> (asofJoin _),
+    "q_range_join" -> (rangeJoin _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 4) AS price, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_discount > 0.08
+        |ORDER BY 1, 2""".stripMargin,
+    "q_project_rename" ->
+      """SELECT p_partkey AS "ID_PRODUTO", upper(p_brand) AS "MARCA",
+        |       upper(replace(p_type, ' ', '_')) AS "CATEGORIA", p_size AS "TAMANHO"
+        |FROM part ORDER BY 1""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |       CAST(year(o_orderdate) AS INT) AS ano,
+        |       CAST(month(o_orderdate) AS INT) AS mes,
+        |       CAST(o_orderdate AS DATE) AS dt,
+        |       CAST(length(o_orderpriority) AS INT) AS prio_len,
+        |       substring(o_orderstatus, 1, 1) AS st,
+        |       concat_ws('-', o_orderstatus, o_orderpriority) AS tag,
+        |       lower(o_orderpriority) AS prio_lower
+        |FROM orders ORDER BY 1""".stripMargin,
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 4) AS sum_qty,
+        |       round(sum(l_extendedprice), 4) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_inner" ->
+      """SELECT p_brand,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size >= 25
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_semi" ->
+      """SELECT o_orderkey, round(o_totalprice, 4) AS total, o_orderstatus
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)
+        |ORDER BY 1""".stripMargin,
+    "q_join_anti" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 4) AS total
+        |FROM orders o
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |ORDER BY 1""".stripMargin,
+    "q_join_left_fill" ->
+      """SELECT o_orderkey,
+        |       round(coalesce(t.items_total_raw, 0), 4) AS items_total,
+        |       coalesce(t.n_raw, 0) AS n_items
+        |FROM orders o
+        |LEFT JOIN (SELECT l_orderkey, sum(l_extendedprice) AS items_total_raw,
+        |                  count(*) AS n_raw
+        |           FROM lineitem GROUP BY 1) t ON o.o_orderkey = t.l_orderkey
+        |ORDER BY 1""".stripMargin,
+    "q_union_all" ->
+      """SELECT o_orderkey, round(o_totalprice, 4) AS price, 'HI' AS bucket
+        |FROM orders WHERE o_totalprice > 400000
+        |UNION ALL
+        |SELECT o_orderkey, round(o_totalprice, 4) AS price, 'LO' AS bucket
+        |FROM orders WHERE o_totalprice < 50000
+        |ORDER BY 1""".stripMargin,
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2",
+    "q_sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice, 4) AS price
+        |FROM lineitem
+        |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "q_window_rank" ->
+      """SELECT l_returnflag, rn, l_orderkey, l_linenumber, price FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber,
+        |         round(l_extendedprice, 4) AS price,
+        |         CAST(row_number() OVER (PARTITION BY l_returnflag
+        |              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INT) AS rn
+        |  FROM lineitem) WHERE rn <= 5 ORDER BY 1, 2""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS dt,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+        |FROM orders ORDER BY 1, 2""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+    "q_time_window_agg" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        |       count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq
+        |  FROM g)
+        |SELECT user_id, sess_seq, count(*) AS n_events, round(sum(value), 4) AS sum_value,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_asof_join" ->
+      """WITH o2 AS (
+        |  SELECT * FROM (
+        |    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |           row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                              ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |       o2.o_orderkey AS last_orderkey,
+        |       round(o2.o_totalprice, 4) AS last_totalprice
+        |FROM events e
+        |ASOF LEFT JOIN o2 ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate
+        |ORDER BY 1""".stripMargin,
+    "q_range_join" ->
+      """SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+        |ORDER BY 1, 2""".stripMargin)
+}
