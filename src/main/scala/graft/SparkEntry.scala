@@ -16,12 +16,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     VendasMart.mart(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (+ the
+    * north-star extension operators §2.9).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    VendasMart.queries ++ Relational.queries
+    VendasMart.queries ++ Relational.queries ++ TextAnalysis.queries ++
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    VendasMart.oracleSql ++ Relational.oracleSql
+    VendasMart.oracleSql ++ Relational.oracleSql ++ TextAnalysis.oracleSql ++
+      Dedup.oracleSql ++ Similarity.oracleSql ++ Multimodal.oracleSql
 }

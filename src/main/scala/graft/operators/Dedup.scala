@@ -1,0 +1,331 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns._
+
+/** Deduplication operators over `documents` — the core of a 100 TB
+  * training-data pipeline (the reference has no dedup at all; its only
+  * "identity" handling is last-object-wins on re-ingest, SURVEY.md §2.1).
+  *
+  * Five tiers, cheapest first:
+  *
+  *   1. exact        — hash-groupBy on content; one shuffle keyed by the
+  *                     full text (or, at scale, its fingerprint).
+  *   2. MinHash+LSH  — shingle → 16 Carter–Wegman min-hashes → 4 bands
+  *                     → bucket-join. Candidate generation cost is
+  *                     O(docs × bands), NOT O(docs²): only docs sharing
+  *                     a band bucket ever meet in the join. This is THE
+  *                     scale path for near-dup text at 100 TB.
+  *   3. SimHash      — frequency-weighted Charikar signature packed in
+  *                     60 bits; banded join on 15-bit quarters, verify
+  *                     with popcount(xor) ≤ radius. One groupBy + one
+  *                     bucket join, all integer arithmetic.
+  *   4. n-gram Jaccard — exact pairwise similarity via an inverted-
+  *                     index self-join on shingles. Quadratic in bucket
+  *                     occupancy; kept as the *verifier* for LSH
+  *                     candidates and as ground truth at test scale.
+  *   5. embedding    — cosine over `embeddings.embedding`; exact
+  *                     pairwise here, LSH-bucketed in Similarity.scala.
+  *
+  * All hashing is `TextFns.hash60` (md5-derived 60-bit ints) so every
+  * pipeline is integer-exact and reproducible in the DuckDB oracle —
+  * no float fuzz in the dedup decisions themselves.
+  */
+object Dedup {
+
+  /** MinHash parameters: 16 permutations h_i(x) = (a_i·x + b_i) mod p
+    * in 4 bands of 4 rows. Odd multipliers, fixed seeds — deterministic
+    * across engines and runs.
+    */
+  val NumHashes = 16
+  val BandRows = 4
+  val NumBands: Int = NumHashes / BandRows
+  def hashA(i: Int): Long = 2L * i + 1
+  def hashB(i: Int): Long = 7919L * i + 13
+
+  val JaccardThreshold = 0.6
+  val SimHashBits = 60
+  val SimHashBandBits = 15
+  val SimHashRadius = 8
+  val CosineThreshold = 0.45
+
+  /** Exact dedup: group identical content, keep the lowest doc_id.
+    * At 100 TB the groupBy key should be `fingerprint` (8 bytes)
+    * rather than the text itself — same plan, tiny shuffle.
+    */
+  def exact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("text"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), md5(col("text")).as("text_md5"))
+      .orderBy("keep_id")
+
+  /** Distinct (doc_id, 3-gram shingle) pairs — the inverted index all
+    * near-dup tiers build on.
+    */
+  private def shingleIndex(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(tokens(col("text")), 3))).as("s"))
+
+  /** Exact n-gram Jaccard ≥ 0.6 pairs via inverted-index self-join.
+    * The join key is the shingle, so a shingle occurring in f docs
+    * contributes f² candidate rows — fine as ground truth / LSH
+    * verifier, but the LSH pipeline below is the one that scales.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = shingleIndex(spark, sfDir)
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = ex.select(col("doc_id").as("a_id"), col("s"))
+    val b = ex.select(col("doc_id").as("b_id"), col("s"))
+    val common = a.join(b, Seq("s")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Per-doc 16-slot MinHash signature (one groupBy over the shingle
+    * index; 16 `min` aggregates ride the same shuffle, partial-agg
+    * combines map-side).
+    */
+  def minHashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = hash60(col("s")) % MinHashPrime
+    val mins = (0 until NumHashes).map(i =>
+      min((lit(hashA(i)) * h + lit(hashB(i))) % MinHashPrime).as(s"m$i"))
+    shingleIndex(spark, sfDir)
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash LSH near-dup pairs: band the signature, bucket-join on
+    * (band, md5-of-band-slots), then estimate similarity as the
+    * fraction of agreeing signature slots. Candidate pairs only ever
+    * materialize for docs that collide in ≥1 band — at 1000 executors
+    * this is a pair of narrow shuffles (signature groupBy, bucket
+    * join), never a cross product.
+    */
+  def minHashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = minHashSignatures(spark, sfDir)
+    // (doc_id, band, bucket) — one row per band via posexplode of the
+    // 4 band keys, each key an md5 over that band's slots.
+    val bandKeys = (0 until NumBands).map { b =>
+      val slots = (0 until BandRows).map(r => col(s"m${b * BandRows + r}"))
+      md5(concat_ws(",", slots: _*))
+    }
+    val exploded = sig.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
+    val cand = exploded.as("x").join(exploded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val sa = sig.select(col("doc_id").as("a_id") +:
+      (0 until NumHashes).map(i => col(s"m$i").as(s"am$i")): _*)
+    val sb = sig.select(col("doc_id").as("b_id") +:
+      (0 until NumHashes).map(i => col(s"m$i").as(s"bm$i")): _*)
+    val agree = (0 until NumHashes)
+      .map(i => when(col(s"am$i") === col(s"bm$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, Seq("a_id")).join(sb, Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(agree.cast("double") / NumHashes, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= lit(0.5))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Frequency-weighted 60-bit SimHash per doc: one groupBy over
+    * (doc, token, count) computes all 60 signed bit-sums as parallel
+    * aggregates (map-side combined — no 60× row blowup), then packs
+    * sign bits into a single int64.
+    */
+  def simHashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .withColumn("h", hash60(col("tok")))
+    val bitSums = (0 until SimHashBits).map { j =>
+      sum(col("c") * (shiftright(col("h"), j).bitwiseAND(1L) * 2L - 1L)).as(s"s$j")
+    }
+    val packed = (0 until SimHashBits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tf.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the 60-bit signature into 4×15-bit
+    * keys, bucket-join, verify popcount(xor) ≤ radius. Pure integer
+    * pipeline; the bucket join bounds the pair space exactly like the
+    * MinHash variant.
+    */
+  def simHashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = simHashSignatures(spark, sfDir)
+    val bandKeys = (0 until NumBands).map(b =>
+      shiftright(col("simhash"), b * SimHashBandBits).bitwiseAND((1L << SimHashBandBits) - 1))
+    val exploded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
+    exploded.as("x").join(exploded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.simhash").as("a_sim"), col("y.simhash").as("b_sim"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("a_sim").bitwiseXOR(col("b_sim"))))
+      .filter(col("hamming") <= SimHashRadius)
+      .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Embedding-cosine near-dup pairs (exact, pairwise). Bounded here
+    * by the small embeddings table; the scale path is the hyperplane-
+    * LSH bucketing in Similarity.lshTopK, which turns this into a
+    * bucket-local join.
+    */
+  def embeddingPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cosine", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .filter(col("cosine") >= CosineThreshold)
+      .select(col("a_id"), col("b_id"), round(col("cosine"), 4).as("cosine"))
+      .orderBy("a_id", "b_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (exact _),
+    "q_dedup_jaccard" -> (ngramJaccard _),
+    "q_dedup_minhash" -> (minHashLsh _),
+    "q_dedup_simhash" -> (simHashPairs _),
+    "q_dedup_embed" -> (embeddingPairs _))
+
+  // ---- DuckDB oracles -------------------------------------------------
+  // Shared SQL fragments, generated from the same constants as the
+  // Spark side so the two can never drift.
+
+  private val h60 = "CAST('0x' || substr(md5(%s), 1, 15) AS BIGINT)"
+
+  private val shingleCte =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS tk
+      |  FROM documents),
+      |ex AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(CASE WHEN len(tk) >= 3
+      |                THEN list_transform(range(1, len(tk) - 1),
+      |                     i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+      |                ELSE [] END) AS s
+      |  FROM toks)""".stripMargin
+
+  private val sigSelect: String = {
+    val h = s"(${h60.format("s")} % ${MinHashPrime})"
+    val mins = (0 until NumHashes)
+      .map(i => s"min((${hashA(i)} * $h + ${hashB(i)}) % ${MinHashPrime}) AS m$i")
+      .mkString(",\n         ")
+    s"SELECT doc_id,\n         $mins\n  FROM ex GROUP BY doc_id"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_md5
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q_dedup_jaccard" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         |       round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+         |FROM pairs
+         |JOIN sizes sa ON a_id = sa.doc_id
+         |JOIN sizes sb ON b_id = sb.doc_id
+         |WHERE common * 1.0 / (sa.n + sb.n - common) >= $JaccardThreshold
+         |ORDER BY 1, 2""".stripMargin,
+    "q_dedup_minhash" -> {
+      val bandKey = (0 until NumBands).map { b =>
+        val slots = (b * BandRows until (b + 1) * BandRows).map(i => s"m$i").mkString(", ")
+        s"md5(concat_ws(',', $slots))"
+      }
+      val agree = (0 until NumHashes)
+        .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $shingleCte,
+         |sig AS (
+         |  $sigSelect),
+         |bands0 AS (
+         |  SELECT doc_id,
+         |         unnest([${bandKey.zipWithIndex.map { case (k, i) => s"{'band': $i, 'bucket': $k}" }.mkString(", ")}]) AS t
+         |  FROM sig),
+         |bands AS (SELECT doc_id, t.band AS band, t.bucket AS bucket FROM bands0),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+         |SELECT a_id, b_id,
+         |       round(($agree) * 1.0 / $NumHashes, 4) AS est_jaccard
+         |FROM cand
+         |JOIN sig sa ON cand.a_id = sa.doc_id
+         |JOIN sig sb ON cand.b_id = sb.doc_id
+         |WHERE ($agree) * 1.0 / $NumHashes >= 0.5
+         |ORDER BY 1, 2""".stripMargin
+    },
+    "q_dedup_simhash" -> {
+      val h = h60.format("tok")
+      val bandMask = (1L << SimHashBandBits) - 1
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, count(*) AS c FROM (
+         |    SELECT doc_id,
+         |           unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
+         |    FROM documents)
+         |  GROUP BY 1, 2),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |         sum(c * ((($h >> j) & 1) * 2 - 1)) AS s
+         |  FROM tf, range(0, $SimHashBits) t(j)
+         |  GROUP BY 1, 2),
+         |sig AS (
+         |  SELECT doc_id,
+         |         sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+         |  FROM bits GROUP BY 1),
+         |bands AS (
+         |  SELECT doc_id, simhash, b.band,
+         |         (simhash >> (b.band * $SimHashBandBits)) & $bandMask AS bucket
+         |  FROM sig, (SELECT unnest(range(0, $NumBands)) AS band) b),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+         |         x.simhash AS a_sim, y.simhash AS b_sim
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+         |SELECT a_id, b_id, CAST(bit_count(xor(a_sim, b_sim)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(a_sim, b_sim)) <= $SimHashRadius
+         |ORDER BY 1, 2""".stripMargin
+    },
+    "q_dedup_embed" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, v,
+         |         sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]),
+         |              (x, y) -> x + y)) AS nrm
+         |  FROM e)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |       round(list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]),
+         |             (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS cosine
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]),
+         |      (x, y) -> x + y) / (a.nrm * b.nrm) >= $CosineThreshold
+         |ORDER BY 1, 2""".stripMargin)
+}

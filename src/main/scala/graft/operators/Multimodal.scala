@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: media payloads as opaque `binary`
+  * columns with typed metadata, plus per-partition batched
+  * decode/feature-extract. The reference has no binary data at all
+  * (flat scalar CSVs, SURVEY.md §1); this is the north-star surface
+  * for image/audio/video corpora at 100 TB.
+  *
+  * Design:
+  *   - at rest, media is `(id, payload binary, meta struct)` — in
+  *     production loaded via `spark.read.format("binaryFile")` from an
+  *     object store; here the payload is derived deterministically from
+  *     `documents.text` so the plumbing is testable without media libs;
+  *   - decode runs per-partition (`mapPartitions` on a typed Dataset):
+  *     one decoder instance per partition, batched iteration, no
+  *     per-row setup cost — the Scala analogue of `mapInPandas`;
+  *   - the actual codec call is STUBBED (`FakeDecoder`): this container
+  *     has no image/audio libraries. The stub is deterministic so tests
+  *     pin the pipeline shape; swap `decode` for a real codec (e.g.
+  *     javax.imageio / ffmpeg bindings) without touching the plan.
+  *
+  * The SQL-expressible slice (byte length, content hash, frame-offset
+  * sampling) is registered as oracle-checked queries; the typed
+  * Dataset path is covered by ScalaTest (MultimodalSpec).
+  */
+object Multimodal {
+
+  case class MediaItem(id: Long, payload: Array[Byte], mime: String, n_chars: Long)
+  case class MediaFeatures(
+      id: Long,
+      n_bytes: Int,
+      checksum: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int)
+
+  /** Deterministic stand-in for a real media decoder. A production
+    * implementation replaces `decode` with the codec call; everything
+    * around it (partitioning, batching, schema) stays identical.
+    */
+  object FakeDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Int) = {
+      // ??? <- real codec goes here; deterministic fake below
+      val n = payload.length
+      val b0 = if (n > 0) payload(0) & 0xff else 0
+      (64 + b0 % 64, 64 + (n % 64), 1 + n / 256)
+    }
+  }
+
+  /** documents.text → media frame: payload = utf-8 bytes, metadata
+    * carried alongside. Narrow projection, no shuffle.
+    */
+  def mediaFrame(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("id"),
+        col("text").cast("binary").as("payload"),
+        lit("text/plain").as("mime"),
+        col("n_chars").cast("long").as("n_chars"))
+
+  /** Per-partition batched decode: one `FakeDecoder` per partition,
+    * streamed iterator (no materialization of the whole partition).
+    */
+  def decodeFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, f) = FakeDecoder.decode(m.payload)
+        val checksum = m.payload.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
+        MediaFeatures(m.id, m.payload.length, checksum, w, h, f)
+      }
+    }
+  }
+
+  /** Typed end-to-end: frame → Dataset[MediaItem] → decode. */
+  def features(spark: SparkSession, sfDir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    decodeFeatures(mediaFrame(spark, sfDir).as[MediaItem])
+  }
+
+  /** SQL-expressible metadata extraction over the binary payload:
+    * byte length, md5, and 3 sampled "frames" (fixed-offset 32-byte
+    * windows — the frame-sampling access pattern without a codec).
+    */
+  def mediaMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = length(col("text"))
+    def frame(k: Int) =
+      col("text").substr(lit(1) + floor(n / lit(4)).cast("int") * k, lit(32))
+    mediaFrame(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select(col("doc_id").as("id"), col("text")), Seq("id"))
+      .select(
+        col("id"),
+        length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("payload_md5"),
+        md5(frame(0).cast("binary")).as("frame0_md5"),
+        md5(frame(1).cast("binary")).as("frame1_md5"),
+        md5(frame(2).cast("binary")).as("frame2_md5"))
+      .orderBy("id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_meta" -> (mediaMeta _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS id,
+        |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |       md5(text) AS payload_md5,
+        |       md5(substr(text, 1, 32)) AS frame0_md5,
+        |       md5(substr(text, 1 + (length(text) // 4), 32)) AS frame1_md5,
+        |       md5(substr(text, 1 + (length(text) // 4) * 2, 32)) AS frame2_md5
+        |FROM documents ORDER BY id""".stripMargin)
+}

@@ -1,0 +1,194 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns._
+
+/** Approximate-nearest-neighbor search over `embeddings.embedding`
+  * (`array<float>`, 64-dim) — absent from the reference (its data model
+  * is flat scalar tables, SURVEY.md §1) but core to a training-data
+  * pipeline (near-dup mining, retrieval curation).
+  *
+  * Two tiers:
+  *
+  *   - brute-force top-k: queries × corpus nested-loop with a windowed
+  *     row_number ≤ k. Exact; cost O(|Q|·|C|·d). The right baseline
+  *     when |Q| is small (Spark broadcasts the query side — no
+  *     shuffle of the corpus at all).
+  *
+  *   - hyperplane-LSH top-k: 8 signed random hyperplanes bucket every
+  *     vector into one of 256 cells; search only within the query's
+  *     cell. Cost per query drops to O(|C|/256 · d) expected. The
+  *     plane matrix is derived from md5 (`TextFns.hash60`) so the
+  *     DuckDB oracle regenerates the identical planes — and on the
+  *     Spark side the matrix is constant-folded into the plan as a
+  *     literal array, evaluated once per row with zero joins. At
+  *     cluster scale, bucketing is a plain narrow projection; the
+  *     bucket-equi-join replaces the quadratic pair space the same way
+  *     the MinHash bands do in Dedup.
+  *
+  * All dot products fold left-to-right in double precision on both
+  * engines (TextFns.dot ≡ DuckDB list_reduce), so scores — and
+  * therefore ranks, with vec_id tiebreak — are bit-identical.
+  */
+object Similarity {
+
+  val NumPlanes = 8
+  val Dim = 64
+  val TopK = 10
+  val LshTopK = 3
+  /** vec_id < NumQueries are the query set. */
+  val NumQueries = 10
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1]:
+    * ((hash60("plane<i>_<j>") mod 2001) - 1000) / 1000 — the same
+    * value the oracle derives in SQL from the same md5 string.
+    */
+  def planeValue(i: Int, j: Int): Double = {
+    val md = MessageDigest.getInstance("MD5")
+      .digest(s"plane${i}_$j".getBytes(StandardCharsets.UTF_8))
+    val hex = md.map("%02x".format(_)).mkString.substring(0, 15)
+    ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+  }
+
+  /** The 8×64 plane matrix as a plan literal (built once on the
+    * driver, shipped in the plan — the Spark analogue of a broadcast
+    * small side).
+    */
+  private def planesLit: Column =
+    array((0 until NumPlanes).map(i =>
+      array((0 until Dim).map(j => lit(planeValue(i, j))): _*)): _*)
+
+  /** 8-bit LSH bucket: bit i set iff plane_i · v > 0. */
+  def bucketCol(v: Column): Column =
+    (0 until NumPlanes)
+      .map(i => when(dot(element_at(planesLit, i + 1), v) > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+
+  private def vectors(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+
+  /** Exact cosine top-k for each query vector (vec_id < 10). The query
+    * side is tiny — Spark broadcast-joins it, so the corpus streams
+    * through map-side; the only shuffle is the per-query window, keyed
+    * by 10 values.
+    */
+  def bruteForceTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vectors(spark, sfDir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("n_id"))
+    e.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+      .join(broadcast(q), col("n_id") =!= col("q_id"))
+      .withColumn("cosine", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cosine"), 4).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** LSH-bucketed top-k: both sides bucketed by the plane signs, join
+    * restricted to equal buckets. Approximate (recall < 1), but the
+    * candidate set per query is |C|/256 expected instead of |C|.
+    */
+  def lshTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vectors(spark, sfDir).withColumn("bucket", bucketCol(col("v")))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qb"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("n_id"))
+    e.select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("nrm").as("nn"), col("bucket").as("nb"))
+      .join(broadcast(q), col("nb") === col("qb") && col("n_id") =!= col("q_id"))
+      .withColumn("cosine", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= LshTopK)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cosine"), 4).as("cosine"), col("qb").cast("long").as("bucket"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Bucket occupancy histogram — the ANN index "stats page"; also a
+    * cheap skew check (a hot bucket ⇒ add planes or re-salt).
+    */
+  def bucketStats(spark: SparkSession, sfDir: String): DataFrame =
+    vectors(spark, sfDir)
+      .withColumn("bucket", bucketCol(col("v")).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("bucket")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_topk" -> (bruteForceTopK _),
+    "q_sim_lsh_topk" -> (lshTopK _),
+    "q_sim_buckets" -> (bucketStats _))
+
+  // ---- DuckDB oracles -------------------------------------------------
+
+  /** Plane CTE regenerating the identical matrix from md5 in SQL. */
+  private val planesCte =
+    s"""planes AS (
+       |  SELECT i,
+       |         list_transform(range(0, $Dim), j ->
+       |           ((CAST('0x' || substr(md5('plane' || i || '_' || j), 1, 15) AS BIGINT)
+       |             % 2001) - 1000) / 1000.0) AS p
+       |  FROM range(0, $NumPlanes) t(i)),
+       |vecs AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_reduce(list_transform(range(1, ${Dim + 1}), k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE),
+       |              (x, y) -> x + y)) AS nrm
+       |  FROM embeddings),
+       |bucketed AS (
+       |  SELECT vec_id, v, nrm,
+       |         sum(CASE WHEN list_reduce(list_transform(range(1, ${Dim + 1}), k -> p[k] * v[k]),
+       |                       (x, y) -> x + y) > 0
+       |                  THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS bucket
+       |  FROM vecs, planes GROUP BY vec_id, v, nrm)""".stripMargin
+
+  private val dotAB =
+    s"list_reduce(list_transform(range(1, ${Dim + 1}), k -> q.v[k] * n.v[k]), (x, y) -> x + y)"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_sim_topk" ->
+      s"""WITH vecs AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_reduce(list_transform(range(1, ${Dim + 1}), k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE),
+         |              (x, y) -> x + y)) AS nrm
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |         $dotAB / (q.nrm * n.nrm) AS cosine
+         |  FROM vecs q JOIN vecs n ON q.vec_id < $NumQueries AND n.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, cosine,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, n_id, round(cosine, 4) AS cosine
+         |FROM ranked WHERE rank <= $TopK ORDER BY 1, 2""".stripMargin,
+    "q_sim_lsh_topk" ->
+      s"""WITH $planesCte,
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id, q.bucket AS bucket,
+         |         $dotAB / (q.nrm * n.nrm) AS cosine
+         |  FROM bucketed q JOIN bucketed n
+         |    ON q.vec_id < $NumQueries AND n.bucket = q.bucket AND n.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, bucket, cosine,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, n_id, round(cosine, 4) AS cosine, bucket
+         |FROM ranked WHERE rank <= $LshTopK ORDER BY 1, 2""".stripMargin,
+    "q_sim_buckets" ->
+      s"""WITH $planesCte
+         |SELECT bucket, count(*) AS n_vecs
+         |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin)
+}

@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFns._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface the reference lacks (its only string
+  * ops are upper/replace, `s2g/vendas.py:126-130`) but a 100 TB corpus
+  * engine needs: token counting, quality scoring, language ID,
+  * fingerprinting, and corpus term statistics.
+  *
+  * Scale design:
+  *   - every query is one narrow projection + (at most) one shuffle on
+  *     an aggregation key; all string work is per-row, codegen'd, and
+  *     runs map-side — no UDFs, no collect;
+  *   - the only explode is in term-frequency, where the following
+  *     groupBy benefits from partial aggregation (map-side combine
+  *     collapses the 31-word vocab before the shuffle);
+  *   - fingerprinting reduces each doc to one int64 min-hash — the
+  *     standard content-defined fingerprint that downstream exact-dedup
+  *     can group on with a 8-byte shuffle key instead of the full text.
+  */
+object TextAnalysis {
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "for")
+
+  private def toksCol: Column = tokens(col("text"))
+
+  /** Token counting: whitespace tokens and a BPE-ish regex
+    * segmentation (letter runs | digit runs | single other glyph) —
+    * the usual pre-tokenizer shape. Pure per-row map work.
+    */
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        length(col("text")).as("n_chars_actual"),
+        size(toksCol).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Quality scoring from length / punctuation / stopword signals —
+    * the heuristics corpus filters (C4, Gopher rules) apply before
+    * training. All ratios are per-row arithmetic; the score is a
+    * deterministic blend so the oracle can reproduce it exactly.
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTok = size(toksCol).cast("double")
+    val stopTok = size(filter(toksCol,
+      t => array_contains(array(Stopwords.map(lit): _*), t))).cast("double")
+    val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
+    val textLen = greatest(length(col("text")).cast("double"), lit(1.0))
+    val stopRatio = stopTok / greatest(nTok, lit(1.0))
+    val punctRatio = punct / textLen
+    val score =
+      lit(0.4) * least(lit(1.0), nTok / lit(50.0)) +
+        lit(0.4) * (lit(1.0) - punctRatio) +
+        lit(0.2) * least(lit(1.0), stopRatio * lit(10.0))
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        nTok.cast("int").as("n_tokens"),
+        round(stopRatio, 4).as("stopword_ratio"),
+        round(punctRatio, 4).as("punct_ratio"),
+        round(score, 4).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Language ID by stopword-profile heuristic: score each candidate
+    * language by its stopword hit-ratio, emit the argmax (ties → 'und').
+    * Real corpora would use char-n-gram profiles; the *shape* — a
+    * per-row scoring pass with zero shuffles — is the 100 TB design.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTok = greatest(size(toksCol).cast("double"), lit(1.0))
+    def ratio(words: Seq[String]): Column =
+      size(filter(toksCol, t => array_contains(array(words.map(lit): _*), t)))
+        .cast("double") / nTok
+    val en = ratio(Seq("the", "a", "of", "and", "is"))
+    val guess = when(en >= lit(0.05), lit("en")).otherwise(lit("und"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        round(en, 4).as("en_ratio"),
+        guess.as("lang_guess"),
+        (col("lang") === guess).as("agrees"))
+      .orderBy("doc_id")
+  }
+
+  /** Content fingerprint: min over the 60-bit hashes of all character
+    * 8-grams (a 1-permutation MinHash — the winnowing/rolling-hash
+    * family). Each doc collapses to one int64; duplicate detection
+    * then groups on 8 bytes instead of full text.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        array_min(transform(charShingles(col("text"), 8), g => hash60(g)))
+          .as("fp60"),
+        size(array_distinct(charShingles(col("text"), 8))).as("n_distinct_8grams"))
+      .orderBy("doc_id")
+
+  /** Corpus term statistics: term frequency + document frequency +
+    * idf. One explode, one shuffle on the term; map-side combine
+    * collapses per-partition counts first, so shuffle volume is
+    * O(vocab × partitions), not O(tokens).
+    */
+  def termFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.select(countDistinct("doc_id").as("n_docs"))
+    docs.select(col("doc_id"), explode(toksCol).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("term"), col("tf"), col("df"),
+        round(log(col("n_docs").cast("double") / col("df")), 4).as("idf"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(50)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokens" -> (tokenCounts _),
+    "q_text_quality" -> (qualityScore _),
+    "q_text_langid" -> (langId _),
+    "q_text_fingerprint" -> (fingerprint _),
+    "q_text_term_freq" -> (termFreq _))
+
+  private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_tokens" ->
+      """SELECT doc_id, n_chars,
+        |       CAST(length(text) AS INT) AS n_chars_actual,
+        |       CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS INT) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split(text, ' '), t -> t != '') AS toks,
+         |         length(text) AS tl,
+         |         length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS np
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |         CAST(len(toks) AS DOUBLE) AS ntok,
+         |         CAST(len(list_filter(toks, t -> t IN ($stopList))) AS DOUBLE) AS nstop,
+         |         CAST(np AS DOUBLE) / greatest(CAST(tl AS DOUBLE), 1.0) AS punct_ratio,
+         |         CAST(len(list_filter(toks, t -> t IN ($stopList))) AS DOUBLE)
+         |           / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS stop_ratio
+         |  FROM t)
+         |SELECT doc_id,
+         |       CAST(ntok AS INT) AS n_tokens,
+         |       round(stop_ratio, 4) AS stopword_ratio,
+         |       round(punct_ratio, 4) AS punct_ratio,
+         |       round(0.4 * least(1.0, ntok / 50.0)
+         |             + 0.4 * (1.0 - punct_ratio)
+         |             + 0.2 * least(1.0, stop_ratio * 10.0), 4) AS quality_score
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+        |           / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS en
+        |  FROM t)
+        |SELECT doc_id, lang, round(en, 4) AS en_ratio,
+        |       CASE WHEN en >= 0.05 THEN 'en' ELSE 'und' END AS lang_guess,
+        |       (lang = CASE WHEN en >= 0.05 THEN 'en' ELSE 'und' END) AS agrees
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(text) >= 8
+        |              THEN list_transform(range(1, length(text) - 6), i -> substr(text, i, 8))
+        |              ELSE [text] END AS grams
+        |  FROM documents)
+        |SELECT doc_id,
+        |       list_min(list_transform(grams,
+        |         g -> CAST('0x' || substr(md5(g), 1, 15) AS BIGINT))) AS fp60,
+        |       CAST(len(list_distinct(grams)) AS INT) AS n_distinct_8grams
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "q_text_term_freq" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != '')) AS term
+        |  FROM documents),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+        |SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df,
+        |       round(ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / count(DISTINCT doc_id)), 4) AS idf
+        |FROM tok GROUP BY term
+        |ORDER BY tf DESC, term LIMIT 50""".stripMargin)
+}
