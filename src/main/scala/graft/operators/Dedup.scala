@@ -65,10 +65,12 @@ object Dedup {
   /** Distinct (doc_id, 3-gram shingle) pairs — the inverted index all
     * near-dup tiers build on.
     */
+  def shingleIndexOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(array_distinct(shingles(tokens(col("text")), 3))).as("s"))
+
   private def shingleIndex(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        explode(array_distinct(shingles(tokens(col("text")), 3))).as("s"))
+    shingleIndexOf(Tables.documents(spark, sfDir))
 
   /** Exact n-gram Jaccard ≥ 0.6 pairs via inverted-index self-join.
     * The join key is the shingle, so a shingle occurring in f docs
@@ -96,14 +98,17 @@ object Dedup {
     * index; 16 `min` aggregates ride the same shuffle, partial-agg
     * combines map-side).
     */
-  def minHashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
+  def minHashSignaturesOf(docs: DataFrame): DataFrame = {
     val h = hash60(col("s")) % MinHashPrime
     val mins = (0 until NumHashes).map(i =>
       min((lit(hashA(i)) * h + lit(hashB(i))) % MinHashPrime).as(s"m$i"))
-    shingleIndex(spark, sfDir)
+    shingleIndexOf(docs)
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
   }
+
+  def minHashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    minHashSignaturesOf(Tables.documents(spark, sfDir))
 
   /** MinHash LSH near-dup pairs: band the signature, bucket-join on
     * (band, md5-of-band-slots), then estimate similarity as the
@@ -146,8 +151,8 @@ object Dedup {
     * aggregates (map-side combined — no 60× row blowup), then packs
     * sign bits into a single int64.
     */
-  def simHashSignatures(spark: SparkSession, sfDir: String): DataFrame = {
-    val tf = Tables.documents(spark, sfDir)
+  def simHashSignaturesOf(docs: DataFrame): DataFrame = {
+    val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       .withColumn("h", hash60(col("tok")))
@@ -161,6 +166,9 @@ object Dedup {
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), packed.as("simhash"))
   }
+
+  def simHashSignatures(spark: SparkSession, sfDir: String): DataFrame =
+    simHashSignaturesOf(Tables.documents(spark, sfDir))
 
   /** SimHash near-dup pairs: band the 60-bit signature into 4×15-bit
     * keys, bucket-join, verify popcount(xor) ≤ radius. Pure integer

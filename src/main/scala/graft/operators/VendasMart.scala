@@ -39,11 +39,14 @@ object VendasMart {
     */
   val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
 
-  def eventsPivot(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
+  def pivotEvents(events: DataFrame): DataFrame =
+    events
       .groupBy("user_id")
       .pivot("event_type", EventTypes)
       .sum("value")
+
+  def eventsPivot(spark: SparkSession, sfDir: String): DataFrame =
+    pivotEvents(Tables.events(spark, sfDir))
 
   def mart(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
