@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's silver→gold "vendas" mart on the *actual Olist
+  * schemas* (`scripts/silver_to_gold/ingestion_vendas_silver_to_gold.py`)
+  * — the literal port, exercised end-to-end by OlistPipelineSpec over
+  * generated fixtures. (VendasMart.scala is the same dataflow
+  * re-targeted at the harness star schema for the oracle gate.)
+  *
+  * Stage map (reference line cites):
+  *   - 5 silver scans + projections (`:44-104`)     → pruned parquet reads
+  *   - payments pivot-sum (`:91-92`)                → groupBy.pivot(explicit values).sum
+  *   - 4-way left join on item grain (`:107-111`)   → chained left equi-joins
+  *   - fillna(0) ×7 money cols (`:114-120`)         → na.fill(0.0, …)
+  *   - to-date (`:123`), upper (`:126-127`),
+  *     "_"→" " replace (`:130`)                     → to_date / upper / translate
+  *   - Portuguese rename ×14 (`:133-149`)           → one aliased select
+  *
+  * Scale: the only shuffles are the pivot aggregation (partial agg,
+  * keyed on order_id) and — beyond broadcast thresholds — the joins;
+  * dimension sides (products, customers) broadcast automatically. The
+  * explicit pivot value list pins the schema AND skips Spark's
+  * distinct-values discovery job.
+  */
+object OlistVendas {
+
+  /** The five payment types the reference's fillna list implies
+    * (`s2g/vendas.py:116-120`). */
+  val PaymentTypes: Seq[String] =
+    Seq("boleto", "credit_card", "debit_card", "not_defined", "voucher")
+
+  val MoneyCols: Seq[String] =
+    Seq("price", "freight_value") ++ PaymentTypes
+
+  def silver(spark: SparkSession, silverRoot: String, spec: TableSpec): DataFrame =
+    spark.read.parquet(s"$silverRoot/${spec.prefix}")
+
+  def mart(spark: SparkSession, silverRoot: String): DataFrame = {
+    val products = silver(spark, silverRoot, OlistCatalog.products)
+      .select("product_category_name", "product_id")                  // :53
+    val orders = silver(spark, silverRoot, OlistCatalog.orders)
+      .select("order_id", "customer_id", "order_purchase_timestamp")  // :65
+    val items = silver(spark, silverRoot, OlistCatalog.orderItems)
+      .select("order_id", "product_id", "price", "freight_value")     // :77
+    val payments = silver(spark, silverRoot, OlistCatalog.orderPayments)
+      .select("order_id", "payment_type", "payment_value")            // :89
+    val customers = silver(spark, silverRoot, OlistCatalog.customers)
+      .select("customer_id", "customer_city", "customer_state")       // :104
+
+    val paymentsPivot = payments
+      .groupBy("order_id")
+      .pivot("payment_type", PaymentTypes)
+      .sum("payment_value")                                           // :91-92
+
+    val joined = items
+      .join(orders, Seq("order_id"), "left")                          // :107-108
+      .join(products, Seq("product_id"), "left")                      // :109
+      .join(customers, Seq("customer_id"), "left")                    // :110
+      .join(paymentsPivot, Seq("order_id"), "left")                   // :111
+
+    joined
+      .na.fill(0.0, MoneyCols)                                        // :114-120
+      .select(                                                        // :123-149
+        col("order_id").as("PEDIDO"),
+        col("product_id").as("ID_PRODUTO"),
+        col("customer_id").as("ID_CLIENTE"),
+        to_date(col("order_purchase_timestamp")).as("DATA_VENDA"),
+        col("price").as("VALOR_VENDA"),
+        col("freight_value").as("FRETE"),
+        translate(upper(col("product_category_name")), "_", " ").as("CATEGORIA_PRODUTO"),
+        upper(col("customer_city")).as("CIDADE_CLIENTE"),
+        col("customer_state").as("ESTADO_CLIENTE"),
+        col("boleto").as("VALOR_BOLETO"),
+        col("credit_card").as("VALOR_CREDITO"),
+        col("debit_card").as("VALOR_DEBITO"),
+        col("voucher").as("VALOR_VOUCHER"),
+        col("not_defined").as("VALOR_NAO_DEFINIDO"))
+  }
+
+  /** Gold parquet sink + optional JDBC mirror — the reference's
+    * `to_parquet`+upload (`:152-162`) and `to_sql(if_exists='replace')`
+    * (`:173-180`). */
+  def run(spark: SparkSession, silverRoot: String, goldRoot: String,
+      jdbc: Option[Sinks.JdbcTarget] = None): Unit = {
+    val m = mart(spark, silverRoot)
+    m.write.mode("overwrite").parquet(s"$goldRoot/olist/vendas")
+    jdbc.foreach(t => Sinks.jdbcReplace(m, t))
+  }
+}

@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Output sinks beyond plain parquet (SURVEY.md §2.1 S5–S7). */
+object Sinks {
+
+  /** JDBC connection target — the reference's MySQL mirror
+    * (`s2g/vendas.py:173-180`: `BD_STACK.TB_VENDAS` via sqlalchemy).
+    */
+  final case class JdbcTarget(url: String, table: String, user: String, password: String)
+
+  /** Full-replace JDBC write, the Spark equivalent of pandas
+    * `to_sql(if_exists='replace')`: `mode("overwrite")` drops and
+    * recreates the table. Partitioned writes mean every executor opens
+    * its own connection — at scale cap parallelism with
+    * `numPartitions` so the database isn't the bottleneck.
+    *
+    * Compile-only in this environment (no JDBC driver jar, no
+    * database); exercised in production via the standard DataSource V2
+    * jdbc path.
+    */
+  def jdbcReplace(df: DataFrame, t: JdbcTarget, numPartitions: Int = 8): Unit =
+    df.coalesce(numPartitions)
+      .write
+      .format("jdbc")
+      .option("url", t.url)
+      .option("dbtable", t.table)
+      .option("user", t.user)
+      .option("password", t.password)
+      .mode("overwrite")
+      .save()
+
+  /** Parquet sink with the single-object layout toggle (reference
+    * writes exactly one object per table, `…customer…py:71-78`;
+    * at scale one file per partition is the only sane layout).
+    */
+  def parquet(df: DataFrame, path: String, singleObject: Boolean = false): Unit =
+    (if (singleObject) df.coalesce(1) else df)
+      .write.mode("overwrite").parquet(path)
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** The native expressions must be drop-in equivalent to the built-in
+  * formulations they replaced (same values bit-for-bit, same nulls) —
+  * that equivalence is what keeps the DuckDB oracles valid.
+  * Randomized cases use a fixed seed (deterministic CI).
+  */
+class GraftExpressionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** The original HOF formulation of dot(), kept as the test oracle. */
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** The original builtin-chain formulation of shingleSet(). */
+  private def chainShingles(text: org.apache.spark.sql.Column, n: Int) =
+    array_distinct(TextFns.shingles(TextFns.tokens(text), n))
+
+  test("DotProduct matches the aggregate/zip_with fold bit-for-bit") {
+    val rnd = new scala.util.Random(42)
+    val cases = (0 until 30).map { _ =>
+      val len = 1 + rnd.nextInt(64)
+      (Array.fill(len)(rnd.nextDouble() * 2e3 - 1e3),
+        Array.fill(len)(rnd.nextDouble() * 2e3 - 1e3))
+    }
+    val df = cases.toDF("a", "b")
+    df.select(TextFns.dot($"a", $"b"), hofDot($"a", $"b")).collect().foreach {
+      case Row(native: Double, hof: Double) =>
+        // Bit-identical, not approximately equal: same summation order.
+        assert(java.lang.Double.doubleToLongBits(native) ==
+          java.lang.Double.doubleToLongBits(hof))
+    }
+  }
+
+  test("DotProduct: null array yields null; empty arrays yield 0.0") {
+    val df = Seq((Array(1.0, 2.0), Option.empty[Array[Double]], Array.empty[Double]))
+      .toDF("a", "n", "e")
+    val r = df.select(
+      TextFns.dot($"a", $"n"), TextFns.dot($"e", $"e"), TextFns.dot($"a", $"a")).head()
+    assert(r.isNullAt(0))
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) == 5.0)
+  }
+
+  test("DotProduct folds the common prefix when lengths differ") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(10.0, 20.0))).toDF("a", "b")
+    assert(df.select(TextFns.dot($"a", $"b")).head().getDouble(0) == 50.0)
+  }
+
+  test("TextShingles matches array_distinct(shingles(tokens(text)))") {
+    val rnd = new scala.util.Random(7)
+    val words = Seq("alpha", "beta", "gamma", "delta", "x", "", " ")
+    val texts = (0 until 40).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    } ++ Seq("", " ", "a", "a a a a a", "one  two   three")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val df = texts.toDF("text")
+        .select($"text", TextFns.shingleSet($"text", n).as("native"),
+          chainShingles($"text", n).as("chain"))
+      df.collect().foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n text='${r.getString(0)}'")
+      }
+    }
+  }
+
+  test("TextShingles: null text -> null, short text -> empty array") {
+    val df = Seq(Option("one two"), None).toDF("text")
+    val rows = df.select(TextFns.shingleSet($"text", 3)).collect()
+    assert(rows(0).getSeq[String](0) == Seq.empty)
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("hash60 is non-negative and stable") {
+    val df = Seq("a", "b", "tok tok").toDF("s")
+      .select(TextFns.hash60($"s").as("h"))
+    val hs = df.collect().map(_.getLong(0))
+    assert(hs.forall(_ >= 0))
+    // md5("a") = 0cc175b9c0f1b6a8... -> first 15 hex digits as decimal
+    assert(hs(0) == java.lang.Long.parseLong("0cc175b9c0f1b6a", 16))
+  }
+}
