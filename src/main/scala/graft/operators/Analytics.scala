@@ -1,0 +1,306 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Analytic-SQL breadth beyond the reference's single pivot aggregate
+  * (SURVEY.md §2.4-2.6 "available built-ins exercised by harness
+  * queries"): multi-dimensional aggregation (cube / grouping sets),
+  * statistical and percentile aggregates, filtered/conditional
+  * aggregation, window shifts, full-outer joins, scalar subqueries,
+  * skew-salted two-stage aggregation, and the date/string scalar
+  * function families.
+  *
+  * Scale notes baked into each plan:
+  *   - cube/grouping-sets run as a single Expand + hash aggregate —
+  *     one shuffle regardless of how many grouping sets;
+  *   - the salted aggregation is the canonical hot-key defense: stage 1
+  *     aggregates on (key, salt) spreading a skewed key over 8
+  *     reducers, stage 2 merges the 8 partials — shuffle volume drops
+  *     from O(rows-of-hot-key) to O(8) for the hot key;
+  *   - the scalar-subquery threshold is computed once and broadcast
+  *     (a 1-row build side), never re-evaluated per row;
+  *   - window shifts (lag/lead/ntile) share ONE window spec so all
+  *     four functions ride the same sort+partition pass.
+  */
+object Analytics {
+
+  /** CUBE over (returnflag, linestatus): all 4 grouping-set combos in
+    * one Expand+aggregate. The explicit grouping-marker column pins
+    * which rollup level each row belongs to.
+    */
+  def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("int").as("g_id"),
+        count(lit(1)).as("n_rows"),
+        round(sum("l_quantity"), 4).as("sum_qty"))
+      .orderBy("g_id", "l_returnflag", "l_linestatus")
+
+  /** Explicit GROUPING SETS ((flag), (priority), ()) — asymmetric sets
+    * cube can't express without filtering.
+    */
+  def groupingSetsAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+          .cast("int").as("g_id"),
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 4).as("sum_price"))
+      .orderBy("g_id", "o_orderstatus", "o_orderpriority")
+
+  /** Statistical aggregates per return flag: sample stddev/variance,
+    * correlation and covariance of quantity vs extended price.
+    */
+  def statsAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"))
+      .orderBy("l_returnflag")
+
+  /** Exact linear-interpolation percentiles (p25/p50/p75) of quantity
+    * per line status — `percentile`, not `percentile_approx`, so the
+    * DuckDB `quantile_cont` oracle matches exactly.
+    */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val ps = expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_linestatus")
+      .agg(
+        round(element_at(ps, 1), 4).as("p25"),
+        round(element_at(ps, 2), 4).as("p50"),
+        round(element_at(ps, 3), 4).as("p75"))
+      .orderBy("l_linestatus")
+  }
+
+  /** Filtered / conditional aggregation per order priority — the
+    * FILTER-clause family (count_if, conditional sum/avg).
+    */
+  def conditionalAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count_if(col("o_totalprice") > 200000).as("n_big"),
+        round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
+          .otherwise(0.0)), 4).as("sum_f_price"),
+        round(avg(when(col("o_orderstatus") === "O", col("o_totalprice"))), 4)
+          .as("avg_o_price"))
+      .orderBy("o_orderpriority")
+
+  /** Window shifts per customer ordered by (date, key): lag/lead of
+    * the total price, quartile bucket, percent rank — all four over
+    * one shared window spec (one sort pass).
+    */
+  def windowShift(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") <= 100)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(lag("o_totalprice", 1).over(w), 4).as("prev_price"),
+        round(lead("o_totalprice", 1).over(w), 4).as("next_price"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Full-outer join of the customer dimension against per-customer
+    * order aggregates: customers with zero orders AND orders whose
+    * customer key has no dimension row both survive.
+    */
+  def joinFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val byCust = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 4).as("sum_price"))
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .join(byCust, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_mktsegment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("sum_price"), lit(0.0)).as("sum_price"))
+      .orderBy("custkey")
+  }
+
+  /** Scalar-subquery filter: line items priced above the global mean.
+    * The mean is one broadcast row, not a per-row recomputation.
+    */
+  def scalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val mean = li.agg(avg("l_extendedprice").as("mean_price"))
+    li.join(broadcast(mean), col("l_extendedprice") > col("mean_price"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_above"),
+        round(sum("l_quantity"), 4).as("sum_qty_above"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Two-stage skew-salted aggregation — same result as a direct
+    * groupBy (the oracle IS the direct GROUP BY), but the hot key is
+    * spread over 8 reducers in stage 1 and merged from 8 partials in
+    * stage 2. The salt must be deterministic-per-row only; it never
+    * appears in the result.
+    */
+  def saltedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val salted = Tables.lineitem(spark, sfDir)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(8)))
+      .groupBy("l_returnflag", "salt")
+      .agg(count(lit(1)).as("pn"), sum("l_quantity").as("pq"))
+    salted
+      .groupBy("l_returnflag")
+      .agg(sum("pn").as("n_rows"), round(sum("pq"), 4).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Date/time scalar family over the order date (reference uses only
+    * to_datetime + .dt.date, SURVEY.md §2.6 F1-F2; this is the rest of
+    * the family an engine needs).
+    */
+  def dateFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") <= 1000)
+      .select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"),
+        trunc(to_date(col("o_orderdate")), "mm").as("month_start"),
+        last_day(to_date(col("o_orderdate"))).as("month_end"),
+        datediff(lit("2025-01-01").cast("date"), to_date(col("o_orderdate")))
+          .as("days_to_2025"),
+        (dayofweek(col("o_orderdate")) - 1).as("dow_sun0"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        add_months(to_date(col("o_orderdate")), 3).as("plus3m"))
+      .orderBy("o_orderkey")
+
+  /** String scalar family over customer names (reference: upper +
+    * replace only, `s2g/vendas.py:126-130`).
+    */
+  def stringFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") <= 500)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        reverse(col("c_name")).as("rev"),
+        levenshtein(col("c_name"), lit("Customer#000000001")).as("lev"),
+        lpad(col("c_name"), 25, "*").as("padded"),
+        instr(col("c_name"), "0").as("first_zero"),
+        substring(col("c_name"), 10, 9).as("id_part"),
+        translate(col("c_name"), "#0", "_ ").as("translated"))
+      .orderBy("c_custkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cube" -> (cubeAgg _),
+    "q_grouping_sets" -> (groupingSetsAgg _),
+    "q_stats_agg" -> (statsAgg _),
+    "q_percentiles" -> (percentiles _),
+    "q_conditional_agg" -> (conditionalAgg _),
+    "q_window_shift" -> (windowShift _),
+    "q_join_full_outer" -> (joinFullOuter _),
+    "q_scalar_subquery" -> (scalarSubquery _),
+    "q_salted_agg" -> (saltedAgg _),
+    "q_date_funcs" -> (dateFuncs _),
+    "q_string_funcs" -> (stringFuncs _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS g_id,
+        |       count(*) AS n_rows,
+        |       round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_id, l_returnflag, l_linestatus""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS g_id,
+        |       count(*) AS n_orders,
+        |       round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_id, o_orderstatus, o_orderpriority""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |       round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |       round(var_samp(l_quantity), 4) AS var_qty,
+        |       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_linestatus,
+        |       round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |       round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_quantity, 0.75), 4) AS p75
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_conditional_agg" ->
+      """SELECT o_orderpriority,
+        |       count(*) AS n_orders,
+        |       CAST(count(*) FILTER (o_totalprice > 200000) AS BIGINT) AS n_big,
+        |       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 4) AS sum_f_price,
+        |       round(avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS avg_o_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_window_shift" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(lag(o_totalprice, 1) OVER w, 4) AS prev_price,
+        |       round(lead(o_totalprice, 1) OVER w, 4) AS next_price,
+        |       CAST(ntile(4) OVER w AS INT) AS quartile,
+        |       round(percent_rank() OVER w, 4) AS pct_rank
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_join_full_outer" ->
+      """WITH agg AS (
+        |  SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS sum_price
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT coalesce(c.c_custkey, a.o_custkey) AS custkey,
+        |       c.c_mktsegment,
+        |       coalesce(a.n_orders, 0) AS n_orders,
+        |       coalesce(a.sum_price, 0.0) AS sum_price
+        |FROM (SELECT c_custkey, c_mktsegment FROM customer) c
+        |FULL OUTER JOIN agg a ON c.c_custkey = a.o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT l_returnflag, count(*) AS n_above,
+        |       round(sum(l_quantity), 4) AS sum_qty_above
+        |FROM lineitem
+        |WHERE l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |       round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |       CAST(o_orderdate AS DATE) AS d,
+        |       date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+        |       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS INT) AS days_to_2025,
+        |       CAST(dayofweek(o_orderdate) AS INT) AS dow_sun0,
+        |       CAST(year(o_orderdate) AS INT) AS yr,
+        |       CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m
+        |FROM orders WHERE o_orderkey <= 1000 ORDER BY o_orderkey""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+        |       upper(c_name) AS up,
+        |       reverse(c_name) AS rev,
+        |       CAST(levenshtein(c_name, 'Customer#000000001') AS INT) AS lev,
+        |       lpad(c_name, 25, '*') AS padded,
+        |       CAST(instr(c_name, '0') AS INT) AS first_zero,
+        |       substr(c_name, 10, 9) AS id_part,
+        |       translate(c_name, '#0', '_ ') AS translated
+        |FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey""".stripMargin)
+}

@@ -85,4 +85,13 @@ class GraftExpressionsSpec extends SparkSpec {
     // md5("a") = 0cc175b9c0f1b6a8... -> first 15 hex digits as decimal
     assert(hs(0) == java.lang.Long.parseLong("0cc175b9c0f1b6a", 16))
   }
+
+  test("SQL surface: graft_dot / graft_shingles registered via extensions") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+        "graft_shingles('a b c d', 3) AS s").head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
+  }
 }
