@@ -117,6 +117,55 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF parameters: 16 coarse centroids, taken deterministically from
+    * the corpus (vec_ids [NumQueries, NumQueries+NList) — a
+    * training-free quantizer both engines can reproduce; production
+    * would k-means these).
+    */
+  val NList = 16
+  val IvfTopK = 3
+
+  /** IVF (inverted-file) top-k — the other classic ANN scale path
+    * next to hyperplane LSH:
+    *
+    *   1. assignment: every vector joins the BROADCAST 16-centroid
+    *      table and keeps its best-cosine centroid (one narrow
+    *      map-side pass, O(|C|·nlist·d), no shuffle of the corpus);
+    *   2. search: nprobe=1 — each query scans only its own cell,
+    *      an equi-join on cell id (expected |C|/nlist candidates).
+    *
+    * At 100 TB the assignment is a one-off index build persisted as a
+    * `cell`-partitioned table; queries then touch 1/nlist of the data.
+    */
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vectors(spark, sfDir)
+    val cent = v.filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + NList)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("c_cos").desc, col("cent_id"))
+    val assigned = v.crossJoin(broadcast(cent))
+      .withColumn("c_cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+    val q = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    val wTop = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("n_id"))
+    assigned
+      .select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("nrm").as("nn"), col("cell"))
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cosine", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= IvfTopK)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cosine"), 4).as("cosine"), col("cell"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Bucket occupancy histogram — the ANN index "stats page"; also a
     * cheap skew check (a hot bucket ⇒ add planes or re-salt).
     */
@@ -130,6 +179,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> (bruteForceTopK _),
     "q_sim_lsh_topk" -> (lshTopK _),
+    "q_sim_ivf_topk" -> (ivfTopK _),
     "q_sim_buckets" -> (bucketStats _))
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -158,6 +208,35 @@ object Similarity {
     s"list_reduce(list_transform(range(1, ${Dim + 1}), k -> q.v[k] * n.v[k]), (x, y) -> x + y)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_sim_ivf_topk" ->
+      s"""WITH vecs AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_reduce(list_transform(range(1, ${Dim + 1}), k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE),
+         |              (x, y) -> x + y)) AS nrm
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM vecs
+         |  WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NList}),
+         |assign0 AS (
+         |  SELECT vecs.vec_id, vecs.v, vecs.nrm, cent.cent_id,
+         |         list_reduce(list_transform(range(1, ${Dim + 1}), k -> vecs.v[k] * cent.cv[k]),
+         |                     (x, y) -> x + y) / (vecs.nrm * cent.cn) AS c_cos
+         |  FROM vecs CROSS JOIN cent),
+         |assigned AS (
+         |  SELECT vec_id, v, nrm, cent_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cent_id) AS rn
+         |    FROM assign0) WHERE rn = 1),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id, q.cell AS cell,
+         |         $dotAB / (q.nrm * n.nrm) AS cosine
+         |  FROM assigned q JOIN assigned n
+         |    ON q.vec_id < $NumQueries AND n.cell = q.cell AND n.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, cell, cosine,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, n_id, round(cosine, 4) AS cosine, cell
+         |FROM ranked WHERE rank <= $IvfTopK ORDER BY 1, 2""".stripMargin,
     "q_sim_topk" ->
       s"""WITH vecs AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v,
