@@ -117,6 +117,31 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Exact cosine top-k via the bounded [[graft.functions.TopK]]
+    * aggregator instead of a window sort: candidates partial-aggregate
+    * map-side to ≤ k per partition before the shuffle (see TopK
+    * scaladoc for the 100 TB argument). Same results, same order, same
+    * oracle as [[bruteForceTopK]].
+    */
+  def topKAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = vectors(spark, sfDir)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    e.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+      .join(broadcast(q), col("n_id") =!= col("q_id"))
+      .select(col("q_id"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cosine"),
+        col("n_id"))
+      .groupBy("q_id")
+      .agg(graft.functions.TopK.column(TopK, col("cosine"), col("n_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("q_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("s.id").as("n_id"),
+        round(col("s.score"), 4).as("cosine"))
+      .orderBy("q_id", "rank")
+  }
+
   /** IVF parameters: 16 coarse centroids, taken deterministically from
     * the corpus (vec_ids [NumQueries, NumQueries+NList) — a
     * training-free quantizer both engines can reproduce; production
@@ -178,6 +203,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> (bruteForceTopK _),
+    "q_sim_topk_agg" -> (topKAgg _),
     "q_sim_lsh_topk" -> (lshTopK _),
     "q_sim_ivf_topk" -> (ivfTopK _),
     "q_sim_buckets" -> (bucketStats _))
@@ -206,6 +232,23 @@ object Similarity {
 
   private val dotAB =
     s"list_reduce(list_transform(range(1, ${Dim + 1}), k -> q.v[k] * n.v[k]), (x, y) -> x + y)"
+
+  private val bruteTopKSql =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_reduce(list_transform(range(1, ${Dim + 1}), k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE),
+       |              (x, y) -> x + y)) AS nrm
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |         $dotAB / (q.nrm * n.nrm) AS cosine
+       |  FROM vecs q JOIN vecs n ON q.vec_id < $NumQueries AND n.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, n_id, round(cosine, 4) AS cosine
+       |FROM ranked WHERE rank <= $TopK ORDER BY 1, 2""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_sim_ivf_topk" ->
@@ -237,22 +280,10 @@ object Similarity {
          |  FROM scored)
          |SELECT q_id, rank, n_id, round(cosine, 4) AS cosine, cell
          |FROM ranked WHERE rank <= $IvfTopK ORDER BY 1, 2""".stripMargin,
-    "q_sim_topk" ->
-      s"""WITH vecs AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v,
-         |         sqrt(list_reduce(list_transform(range(1, ${Dim + 1}), k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE),
-         |              (x, y) -> x + y)) AS nrm
-         |  FROM embeddings),
-         |scored AS (
-         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-         |         $dotAB / (q.nrm * n.nrm) AS cosine
-         |  FROM vecs q JOIN vecs n ON q.vec_id < $NumQueries AND n.vec_id <> q.vec_id),
-         |ranked AS (
-         |  SELECT q_id, n_id, cosine,
-         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
-         |  FROM scored)
-         |SELECT q_id, rank, n_id, round(cosine, 4) AS cosine
-         |FROM ranked WHERE rank <= $TopK ORDER BY 1, 2""".stripMargin,
+    "q_sim_topk" -> bruteTopKSql,
+    // The aggregator variant computes the identical result by
+    // construction — same oracle.
+    "q_sim_topk_agg" -> bruteTopKSql,
     "q_sim_lsh_topk" ->
       s"""WITH $planesCte,
          |scored AS (

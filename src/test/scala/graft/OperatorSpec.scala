@@ -173,4 +173,30 @@ class OperatorSpec extends SparkSpec {
     // C: key absent from right -> null, row preserved (left semantics)
     assert(res(4).isNullAt(2))
   }
+
+  // --- bounded top-k aggregator ---------------------------------------
+
+  test("TopK aggregator: bounded, deterministic ties, merge-safe") {
+    import graft.functions.TopK
+    val agg = new TopK.TopKAgg(3)
+    val items = Seq(
+      TopK.ScoredId(0.5, 7), TopK.ScoredId(0.9, 2), TopK.ScoredId(0.9, 1),
+      TopK.ScoredId(0.1, 9), TopK.ScoredId(0.7, 4), TopK.ScoredId(0.9, 3))
+    // Feed through two partial buffers then merge (the shuffle shape).
+    val (l, r) = items.splitAt(2)
+    val merged = agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    val top = agg.finish(merged)
+    // score desc, id asc on ties: (0.9,1), (0.9,2), (0.9,3)
+    assert(top == Seq(TopK.ScoredId(0.9, 1), TopK.ScoredId(0.9, 2), TopK.ScoredId(0.9, 3)))
+    // Order of arrival must not matter.
+    val rev = agg.finish(items.reverse.foldLeft(agg.zero)(agg.reduce))
+    assert(rev == top)
+  }
+
+  test("TopK aggregator query equals the window formulation") {
+    val win = Similarity.bruteForceTopK(spark, sf).collect().toSeq
+    val agg = Similarity.topKAgg(spark, sf).collect().toSeq
+    assert(win.map(_.toSeq) == agg.map(_.toSeq))
+  }
 }

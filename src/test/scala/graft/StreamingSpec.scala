@@ -93,4 +93,24 @@ class StreamingSpec extends SparkSpec {
     assert(first.getAs[Long]("n_events") == 2)
     assert(first.getAs[Double]("total_value") == 3.0)
   }
+
+  test("streaming exact dedup: dropDuplicates within watermark emits each key once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "doc_key")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("doc_key")
+    val q = df.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    mem.addData(
+      (Timestamp.valueOf("2024-05-01 10:00:00"), "a"),
+      (Timestamp.valueOf("2024-05-01 10:01:00"), "a"),
+      (Timestamp.valueOf("2024-05-01 10:02:00"), "b"))
+    q.processAllAvailable()
+    mem.addData((Timestamp.valueOf("2024-05-01 10:03:00"), "a"))
+    q.processAllAvailable()
+    val keys = spark.table("stream_dedup").collect().map(_.getString(1)).sorted
+    q.stop()
+    assert(keys.toSeq == Seq("a", "b"))
+  }
 }
