@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Bucketing: the co-located-join strategy for repeated large-scale
+  * joins (SURVEY.md §7 scale notes). Writing both sides bucketed by
+  * the join key lets Spark plan the join with ZERO shuffle exchanges —
+  * at 100 TB this converts every recurring fact-to-fact join on the
+  * same key from a full network re-shuffle into a local merge.
+  */
+class BucketingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("join of co-bucketed tables plans without a shuffle exchange") {
+    // Plain (non-adaptive) physical plan so the join subtree is
+    // directly inspectable; AQE would only ever remove exchanges here.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try bucketedJoinBody()
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def bucketedJoinBody(): Unit = {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_items")
+    // A previously interrupted run can leave the managed location
+    // behind without its metastore entry; clear it.
+    Seq("b_orders", "b_items").foreach { t =>
+      val d = new java.io.File(s"target/spark-warehouse/$t")
+      if (d.exists()) {
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(del)); f.delete()
+        }
+        del(d)
+      }
+    }
+
+    val orders = (1L to 1000L).map(k => (k, s"status_${k % 3}")).toDF("okey", "status")
+    val items = (1L to 3000L).map(i => (i / 3 + 1, i, (i % 7).toDouble))
+      .toDF("okey", "item_id", "amount")
+
+    orders.write.bucketBy(8, "okey").sortBy("okey")
+      .mode("overwrite").saveAsTable("b_orders")
+    items.write.bucketBy(8, "okey").sortBy("okey")
+      .mode("overwrite").saveAsTable("b_items")
+
+    val joined = spark.table("b_items")
+      .join(spark.table("b_orders"), "okey")
+      .groupBy("status").agg(sum("amount").as("total"))
+
+    // Correctness first.
+    val totals = joined.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val expected = items.join(orders, "okey")
+      .groupBy("status").agg(sum("amount")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(totals == expected)
+
+    // The join itself must be shuffle-free: no exchange anywhere below
+    // the join node (the exchange feeding the final aggregation is
+    // above it and expected).
+    val plan = joined.queryExecution.executedPlan
+    val join = plan.collectFirst {
+      case j if j.nodeName.contains("Join") => j
+    }
+    assert(join.isDefined, s"no join node in:\n$plan")
+    val shufflesBelowJoin = join.get.collect { case s: ShuffleExchangeExec => s }
+    assert(shufflesBelowJoin.isEmpty,
+      s"expected shuffle-free co-bucketed join, got:\n${join.get}")
+  }
+}

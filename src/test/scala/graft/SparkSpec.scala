@@ -7,13 +7,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * SparkSession (getOrCreate), small shuffle fan-out for test speed.
   */
 object SparkSpec {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", 4)
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    // Keep catalog/metastore artifacts under target/ (static configs —
+    // must be set before the session exists).
+    System.setProperty("derby.system.home", "target/derby")
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "target/spark-warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
 }
 
 trait SparkSpec extends AnyFunSuite {
