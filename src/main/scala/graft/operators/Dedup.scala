@@ -217,12 +217,62 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Connected components over the MinHash near-dup pairs by iterative
+    * min-label propagation: every doc in a near-dup component gets the
+    * component's smallest doc_id as `cluster` (the canonical survivor)
+    * — the "which copy do we keep" step that closes the dedup loop.
+    *
+    * Scale shape: each iteration is one join + one aggregate on the
+    * edge list (O(|E|) shuffle); iterations = graph diameter, and
+    * near-dup graphs are unions of small cliques (diameter ≲ 4), so
+    * the loop converges in a handful of passes. `localCheckpoint`
+    * truncates lineage per iteration so plans don't nest. Driver-side
+    * work is only the convergence counter — never the data. (GraphX/
+    * graphframes would give the same algorithm; this stays in the
+    * DataFrame API.)
+    */
+  def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minHashLsh(spark, sfDir).select("a_id", "b_id")
+    // Undirected edge list, both directions.
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    val members = edges.select(col("src").as("doc_id")).distinct()
+    var labels = members.withColumn("label", col("doc_id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      // Each doc adopts min(own label, neighbors' labels).
+      val next = edges
+        .join(labels.withColumnRenamed("doc_id", "src")
+          .withColumnRenamed("label", "src_label"), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min("src_label").as("nbr_label"))
+        .join(labels, Seq("doc_id"), "right")
+        .select(col("doc_id"),
+          least(coalesce(col("nbr_label"), col("label")), col("label")).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+      .groupBy("label")
+      .agg(count(lit(1)).as("cluster_size"),
+        sort_array(collect_list("doc_id")).as("m"))
+      .select(col("label").as("cluster"), col("cluster_size"),
+        concat_ws(",", col("m")).as("members"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (exact _),
     "q_dedup_jaccard" -> (ngramJaccard _),
     "q_dedup_minhash" -> (minHashLsh _),
     "q_dedup_simhash" -> (simHashPairs _),
-    "q_dedup_embed" -> (embeddingPairs _))
+    "q_dedup_embed" -> (embeddingPairs _),
+    "q_dedup_cluster" -> (nearDupClusters _))
 
   // ---- DuckDB oracles -------------------------------------------------
   // Shared SQL fragments, generated from the same constants as the
@@ -250,6 +300,39 @@ object Dedup {
     s"SELECT doc_id,\n         $mins\n  FROM ex GROUP BY doc_id"
   }
 
+  /** Shared CTE chain ending in `mh_pairs(a_id, b_id, est_jaccard)` —
+    * the MinHash LSH pair pipeline, used by both the pairs query and
+    * the clustering query's recursive closure.
+    */
+  private lazy val minhashPairCtes: String = {
+    val bandKey = (0 until NumBands).map { b =>
+      val slots = (b * BandRows until (b + 1) * BandRows).map(i => s"m$i").mkString(", ")
+      s"md5(concat_ws(',', $slots))"
+    }
+    val agree = (0 until NumHashes)
+      .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""$shingleCte,
+       |sig AS (
+       |  $sigSelect),
+       |bands0 AS (
+       |  SELECT doc_id,
+       |         unnest([${bandKey.zipWithIndex.map { case (k, i) => s"{'band': $i, 'bucket': $k}" }.mkString(", ")}]) AS t
+       |  FROM sig),
+       |bands AS (SELECT doc_id, t.band AS band, t.bucket AS bucket FROM bands0),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |mh_pairs AS (
+       |  SELECT a_id, b_id,
+       |         round(($agree) * 1.0 / $NumHashes, 4) AS est_jaccard
+       |  FROM cand
+       |  JOIN sig sa ON cand.a_id = sa.doc_id
+       |  JOIN sig sb ON cand.b_id = sb.doc_id
+       |  WHERE ($agree) * 1.0 / $NumHashes >= 0.5)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_md5
@@ -268,34 +351,23 @@ object Dedup {
          |JOIN sizes sb ON b_id = sb.doc_id
          |WHERE common * 1.0 / (sa.n + sb.n - common) >= $JaccardThreshold
          |ORDER BY 1, 2""".stripMargin,
-    "q_dedup_minhash" -> {
-      val bandKey = (0 until NumBands).map { b =>
-        val slots = (b * BandRows until (b + 1) * BandRows).map(i => s"m$i").mkString(", ")
-        s"md5(concat_ws(',', $slots))"
-      }
-      val agree = (0 until NumHashes)
-        .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH $shingleCte,
-         |sig AS (
-         |  $sigSelect),
-         |bands0 AS (
-         |  SELECT doc_id,
-         |         unnest([${bandKey.zipWithIndex.map { case (k, i) => s"{'band': $i, 'bucket': $k}" }.mkString(", ")}]) AS t
-         |  FROM sig),
-         |bands AS (SELECT doc_id, t.band AS band, t.bucket AS bucket FROM bands0),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
-         |SELECT a_id, b_id,
-         |       round(($agree) * 1.0 / $NumHashes, 4) AS est_jaccard
-         |FROM cand
-         |JOIN sig sa ON cand.a_id = sa.doc_id
-         |JOIN sig sb ON cand.b_id = sb.doc_id
-         |WHERE ($agree) * 1.0 / $NumHashes >= 0.5
-         |ORDER BY 1, 2""".stripMargin
-    },
+    "q_dedup_minhash" ->
+      s"""WITH $minhashPairCtes
+         |SELECT a_id, b_id, est_jaccard FROM mh_pairs ORDER BY 1, 2""".stripMargin,
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |bi AS (
+         |  SELECT a_id AS src, b_id AS dst FROM mh_pairs
+         |  UNION ALL SELECT b_id, a_id FROM mh_pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM bi),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT bi.dst, r.label FROM reach r JOIN bi ON bi.src = r.id),
+         |lab AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id)
+         |SELECT cluster, count(*) AS cluster_size,
+         |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+         |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin,
     "q_dedup_simhash" -> {
       val h = h60.format("tok")
       val bandMask = (1L << SimHashBandBits) - 1
