@@ -1,0 +1,173 @@
+package graft.expressions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared native text-hash kernels. All arithmetic is the exact
+  * integer pipeline of `TextFns.hash60` (first 60 bits of md5 as a
+  * non-negative int64) so results are bit-identical to both the
+  * DataFrame-builtin formulations and the DuckDB oracles.
+  */
+private[expressions] object HashKernel {
+
+  private val digest: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** `CAST(conv(substr(md5(s),1,15),16,10) AS BIGINT)` — 60 bits. */
+  def hash60(s: String): Long = {
+    val md = digest.get()
+    md.reset()
+    val bytes = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    // First 15 hex digits = first 7.5 bytes.
+    var h = 0L
+    var i = 0
+    while (i < 8) {
+      val b = bytes(i) & 0xff
+      if (i < 7) h = (h << 8) | b
+      else h = (h << 4) | (b >>> 4) // 15th hex digit: high nibble
+      i += 1
+    }
+    h
+  }
+
+  /** Whitespace tokens, empties dropped (= `TextFns.tokens`). */
+  def tokenize(text: String): mutable.ArrayBuffer[String] = {
+    val toks = mutable.ArrayBuffer.empty[String]
+    var start = 0
+    val len = text.length
+    var i = 0
+    while (i <= len) {
+      if (i == len || text.charAt(i) == ' ') {
+        if (i > start) toks += text.substring(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    toks
+  }
+
+  /** Distinct word n-gram shingles (= `TextFns.shingleSet`). */
+  def distinctShingles(text: String, n: Int): mutable.LinkedHashSet[String] = {
+    val toks = tokenize(text)
+    val out = mutable.LinkedHashSet.empty[String]
+    if (toks.length < n) return out
+    val sb = new java.lang.StringBuilder
+    var j = 0
+    while (j <= toks.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(j + k))
+        k += 1
+      }
+      out += sb.toString
+      j += 1
+    }
+    out
+  }
+
+  // For a hex check in tests.
+  def md5Hex15(s: String): String = {
+    val md = digest.get()
+    md.reset()
+    md.digest(s.getBytes(StandardCharsets.UTF_8))
+      .take(8).flatMap(b => Array(HexChars((b >> 4) & 0xf), HexChars(b & 0xf)))
+      .mkString.substring(0, 15)
+  }
+}
+
+/** 16-slot MinHash signature in ONE pass over the raw text.
+  *
+  * Equivalent to the DataFrame pipeline
+  * `shingleIndex → withColumn(h) → groupBy(doc).agg(min₀..min₁₅)` but
+  * with no explode, no shuffle, and each shingle hashed exactly once:
+  * the per-doc signature is computed inside the scan projection. On a
+  * 100 TB corpus this turns the MinHash index build into a pure
+  * map-side pass whose only shuffle is the band-bucket join.
+  *
+  * Output: `array<long>` of NumHashes slots; `Long.MaxValue` slots for
+  * docs with no shingles (the grouped formulation emits no row — the
+  * caller filters on `size(tokens) >= n` to match; see Dedup).
+  */
+case class MinHashSignature(child: Expression, shingleN: Int,
+    prime: Long, coefA: Seq[Long], coefB: Seq[Long])
+    extends UnaryExpression with CodegenFallback {
+
+  require(coefA.length == coefB.length)
+  private val numHashes = coefA.length
+  @transient private lazy val as = coefA.toArray
+  @transient private lazy val bs = coefB.toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val it = HashKernel.distinctShingles(text, shingleN).iterator
+    while (it.hasNext) {
+      val h = HashKernel.hash60(it.next()) % prime
+      var i = 0
+      while (i < numHashes) {
+        val v = (as(i) * h + bs(i)) % prime
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** 60-bit frequency-weighted SimHash in ONE pass over the raw text.
+  *
+  * Equivalent to `explode(tokens) → groupBy(doc,tok).count →
+  * groupBy(doc).agg(60 bit-sums) → pack` (two shuffles, 60 aggregate
+  * columns) collapsed into a per-row kernel: token counts in a local
+  * hash map, one `hash60` per distinct token, 60 signed sums, sign
+  * bits packed into an int64.
+  */
+case class SimHash60(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val counts = mutable.HashMap.empty[String, Long]
+    HashKernel.tokenize(text).foreach(t => counts.update(t, counts.getOrElse(t, 0L) + 1L))
+    val sums = new Array[Long](bits)
+    counts.foreach { case (tok, c) =>
+      val h = HashKernel.hash60(tok)
+      var j = 0
+      while (j < bits) {
+        sums(j) += c * (((h >>> j) & 1L) * 2L - 1L)
+        j += 1
+      }
+    }
+    var packed = 0L
+    var j = 0
+    while (j < bits) {
+      if (sums(j) > 0) packed |= 1L << j
+      j += 1
+    }
+    packed
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}

@@ -96,21 +96,23 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** Per-doc 16-slot MinHash signature (one groupBy over the shingle
-    * index; 16 `min` aggregates ride the same shuffle, partial-agg
-    * combines map-side).
+  /** Per-doc 16-slot MinHash signature in ONE map-side pass — the
+    * native [[graft.expressions.MinHashSignature]] kernel computes the
+    * whole signature inside the scan projection (no shingle explode,
+    * no groupBy shuffle; each shingle md5'd exactly once). Docs with
+    * fewer than 3 tokens have no shingles → all-MaxValue sentinel
+    * slots, filtered to match the grouped formulation (which emits no
+    * row for them).
     */
   def minHashSignaturesOf(docs: DataFrame): DataFrame = {
-    // Materialize the 60-bit shingle hash ONCE per row before the
-    // groupBy — as a subexpression of each of the 16 min-aggregates it
-    // would be recomputed (md5 + base-16 conv) 16× per shingle.
-    val h = col("h")
-    val mins = (0 until NumHashes).map(i =>
-      min((lit(hashA(i)) * h + lit(hashB(i))) % MinHashPrime).as(s"m$i"))
-    shingleIndexOf(docs)
-      .withColumn("h", hash60(col("s")) % MinHashPrime)
-      .groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
+    import org.apache.spark.sql.graft.ColumnShim
+    val sig = ColumnShim.column(graft.expressions.MinHashSignature(
+      ColumnShim.expression(col("text")), 3, MinHashPrime,
+      (0 until NumHashes).map(hashA), (0 until NumHashes).map(hashB)))
+    docs.select(col("doc_id"), sig.as("sig"))
+      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(i => element_at(col("sig"), i + 1).as(s"m$i")): _*)
   }
 
   def minHashSignatures(spark: SparkSession, sfDir: String): DataFrame =
@@ -152,25 +154,20 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** Frequency-weighted 60-bit SimHash per doc: one groupBy over
-    * (doc, token, count) computes all 60 signed bit-sums as parallel
-    * aggregates (map-side combined — no 60× row blowup), then packs
-    * sign bits into a single int64.
+  /** Frequency-weighted 60-bit SimHash per doc in ONE map-side pass —
+    * the native [[graft.expressions.SimHash60]] kernel (local token
+    * counts → one hash per distinct token → 60 signed sums → sign
+    * pack) replaces the explode + two-groupBy formulation; docs with
+    * zero tokens are filtered to match it (they produced no (doc,tok)
+    * rows, hence no signature).
     */
   def simHashSignaturesOf(docs: DataFrame): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      .withColumn("h", hash60(col("tok")))
-    val bitSums = (0 until SimHashBits).map { j =>
-      sum(col("c") * (shiftright(col("h"), j).bitwiseAND(1L) * 2L - 1L)).as(s"s$j")
-    }
-    val packed = (0 until SimHashBits)
-      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    tf.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), packed.as("simhash"))
+    import org.apache.spark.sql.graft.ColumnShim
+    val sig = ColumnShim.column(graft.expressions.SimHash60(
+      ColumnShim.expression(col("text")), SimHashBits))
+    docs
+      .filter(size(tokens(col("text"))) > 0)
+      .select(col("doc_id"), sig.as("simhash"))
   }
 
   def simHashSignatures(spark: SparkSession, sfDir: String): DataFrame =

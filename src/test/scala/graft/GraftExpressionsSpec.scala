@@ -94,4 +94,43 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(r.getDouble(0) == 11.0)
     assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
   }
+
+  test("MinHashSignature / SimHash60 match the grouped DataFrame formulations") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(11)
+    val words = Seq("alpha", "beta", "gamma", "delta", "ep", "ze", "x1", "77")
+    val docs = (1L to 60L).map { id =>
+      (id, (0 until rnd.nextInt(30)).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+
+    // Old MinHash formulation: explode shingles -> hash once -> 16 mins.
+    val h = col("h")
+    val mins = (0 until Dedup.NumHashes).map(i =>
+      min((lit(Dedup.hashA(i)) * h + lit(Dedup.hashB(i))) % TextFns.MinHashPrime).as(s"m$i"))
+    val oldMh = Dedup.shingleIndexOf(docs)
+      .withColumn("h", TextFns.hash60(col("s")) % TextFns.MinHashPrime)
+      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 until r.length).map(r.getLong).toSeq).toMap
+    val newMh = Dedup.minHashSignaturesOf(docs)
+      .collect().map(r => r.getLong(0) -> (1 until r.length).map(r.getLong).toSeq).toMap
+    assert(newMh == oldMh)
+
+    // Old SimHash formulation: tf -> 60 bit sums -> pack.
+    val tf = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .withColumn("hh", TextFns.hash60(col("tok")))
+    val bitSums = (0 until Dedup.SimHashBits).map { j =>
+      sum(col("c") * (shiftright(col("hh"), j).bitwiseAND(1L) * 2L - 1L)).as(s"s$j")
+    }
+    val packed = (0 until Dedup.SimHashBits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val oldSh = tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val newSh = Dedup.simHashSignaturesOf(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(newSh == oldSh)
+  }
 }
