@@ -199,4 +199,49 @@ class OperatorSpec extends SparkSpec {
     val agg = Similarity.topKAgg(spark, sf).collect().toSeq
     assert(win.map(_.toSeq) == agg.map(_.toSeq))
   }
+
+  // --- binaryFile source (multimodal at-rest layout) -------------------
+
+  test("binaryFile source: one row per object with payload bytes + metadata") {
+    val dir = tmpDir("media")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.bin"),
+      Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.bin"),
+      "media-payload".getBytes("UTF-8"))
+    val df = spark.read.format("binaryFile").load(dir)
+    assert(df.columns.toSet == Set("path", "modificationTime", "length", "content"))
+    val rows = df.orderBy("path").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("length") == 4L)
+    assert(rows(0).getAs[Array[Byte]]("content").toSeq == Seq[Byte](1, 2, 3, 4))
+  }
+
+  // --- property-style invariants (SURVEY.md §5.4) -----------------------
+
+  test("pivot invariant: row-wise sum of pivoted columns equals the group sum") {
+    val rnd = new scala.util.Random(5)
+    val types = VendasMart.EventTypes
+    val events = (1 to 400).map { _ =>
+      (rnd.nextInt(20).toLong, types(rnd.nextInt(types.length)), rnd.nextInt(100) / 10.0)
+    }.toDF("user_id", "event_type", "value")
+    val pivotTotals = VendasMart.pivotEvents(events)
+      .na.fill(0.0, types)
+      .select(col("user_id"), types.map(col).reduce(_ + _).as("total"))
+      .collect().map(r => r.getLong(0) -> math.round(r.getDouble(1) * 1e6)).toMap
+    val groupTotals = events.groupBy("user_id").agg(sum("value").as("total"))
+      .collect().map(r => r.getLong(0) -> math.round(r.getDouble(1) * 1e6)).toMap
+    assert(pivotTotals == groupTotals)
+  }
+
+  test("union-by-name preserves row counts and aligns drifting columns") {
+    val a = Seq((1L, "x")).toDF("id", "name")
+    val b = Seq(("y", 2L)).toDF("name", "id") // reordered
+    val c = Seq(3L).toDF("id")                // missing column
+    val u = a.unionByName(b, allowMissingColumns = true)
+      .unionByName(c, allowMissingColumns = true)
+    assert(u.count() == 3)
+    val rows = u.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(2).isNullAt(1))
+  }
 }
