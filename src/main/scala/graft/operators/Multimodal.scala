@@ -81,6 +81,43 @@ object Multimodal {
     decodeFeatures(mediaFrame(spark, sfDir).as[MediaItem])
   }
 
+  final case class ResizedItem(id: Long, payload: Array[Byte], width: Int, height: Int)
+  final case class MediaEmbedding(id: Long, embedding: Array[Float])
+
+  /** Resize stub: production would re-encode pixels; the stub
+    * truncates/pads the payload to `w*h` bytes deterministically.
+    * Shape contract (what a real codec swap must preserve): one output
+    * row per input row, payload size exactly w*h, constant metadata.
+    */
+  def resize(items: Dataset[MediaItem], w: Int, h: Int): Dataset[ResizedItem] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        val out = java.util.Arrays.copyOf(m.payload, w * h)
+        ResizedItem(m.id, out, w, h)
+      }
+    }
+  }
+
+  /** Feature-extraction stub: payload bytes → fixed 16-dim float
+    * embedding (byte-bucket histogram, L1-normalized) — a
+    * deterministic stand-in for a vision encoder. Output plugs
+    * directly into the Similarity operators (same `array<float>`
+    * shape as `embeddings.embedding`), so media near-dup mining runs
+    * through the exact ANN path text embeddings use.
+    */
+  def embed(items: Dataset[MediaItem], dim: Int = 16): Dataset[MediaEmbedding] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      it.map { m =>
+        val hist = new Array[Float](dim)
+        m.payload.foreach(b => hist((b & 0xff) % dim) += 1f)
+        val n = math.max(1f, m.payload.length.toFloat)
+        MediaEmbedding(m.id, hist.map(_ / n))
+      }
+    }
+  }
+
   /** SQL-expressible metadata extraction over the binary payload:
     * byte length, md5, and 3 sampled "frames" (fixed-offset 32-byte
     * windows — the frame-sampling access pattern without a codec).

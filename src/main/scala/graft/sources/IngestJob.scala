@@ -51,12 +51,15 @@ final class IngestJob(spec: TableSpec) {
   /** By-name alignment: every declared column selected (cast to its
     * declared type when present, typed null when absent). Extra CSV
     * columns are dropped — the declared header is the contract, as in
-    * the reference's seeded empty frame.
+    * the reference's seeded empty frame. `try_cast` keeps the
+    * alignment permissive: a malformed cell becomes a typed null
+    * instead of failing the job under ANSI mode (at 100 TB one bad
+    * row must never kill an ingest).
     */
   def align(raw: DataFrame): DataFrame = {
     val present = raw.columns.toSet
     spec.schema.fields.toSeq.map { f =>
-      if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      if (present.contains(f.name)) col(f.name).try_cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     } match { case cols => raw.select(cols: _*) }
   }

@@ -85,4 +85,22 @@ class IngestSpec extends SparkSpec {
       .listFiles().filter(_.getName.endsWith(".parquet"))
     assert(files.length == 1)
   }
+
+  test("permissive mode: malformed rows yield typed nulls, not failures") {
+    val bronze = tmpDir("bronze")
+    val d = s"$bronze/olist/order_items"
+    writeCsv(d, "bad.csv",
+      OlistCatalog.orderItems.schema.fieldNames.mkString(","),
+      "o1,1,p1,s1,2017-10-06 11:07:15,58.9,13.29",
+      "o2,not-an-int,p2,s2,2017-10-06 11:07:15,not-a-double,1.0")
+    val df = IngestJob(OlistCatalog.orderItems).extract(spark, bronze)
+      .orderBy("order_id")
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Double]("price") == 58.9)
+    // Malformed cells align to null under the declared types.
+    assert(rows(1).isNullAt(df.columns.indexOf("order_item_id")))
+    assert(rows(1).isNullAt(df.columns.indexOf("price")))
+    assert(rows(1).getAs[Double]("freight_value") == 1.0)
+  }
 }

@@ -244,4 +244,20 @@ class OperatorSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
     assert(rows(2).isNullAt(1))
   }
+
+  test("multimodal resize/embed stubs: shape contracts hold") {
+    import graft.operators.Multimodal._
+    val items = Seq(
+      MediaItem(1L, (0 until 100).map(_.toByte).toArray, "image/x-fake", 100L),
+      MediaItem(2L, Array[Byte](5, 5, 5), "image/x-fake", 3L)).toDS()
+    val rs = resize(items, 8, 4).collect().sortBy(_.id)
+    assert(rs.forall(r => r.payload.length == 32 && r.width == 8 && r.height == 4))
+    val es = embed(items).collect().sortBy(_.id)
+    assert(es.forall(_.embedding.length == 16))
+    // L1-normalized histogram sums to ~1 for non-empty payloads.
+    assert(math.abs(es(0).embedding.sum - 1f) < 1e-5)
+    // Deterministic: same input, same vector.
+    val again = embed(items).collect().sortBy(_.id)
+    assert(es.map(_.embedding.toSeq).toSeq == again.map(_.embedding.toSeq).toSeq)
+  }
 }
