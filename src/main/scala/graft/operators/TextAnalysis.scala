@@ -70,23 +70,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Language ID by stopword-profile heuristic: score each candidate
-    * language by its stopword hit-ratio, emit the argmax (ties → 'und').
-    * Real corpora would use char-n-gram profiles; the *shape* — a
-    * per-row scoring pass with zero shuffles — is the 100 TB design.
+  /** Per-language stopword profiles (the word-level n-gram heuristic;
+    * real corpora would add char n-gram profiles — same per-row
+    * scoring shape).
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "es" -> Seq("el", "los", "que", "y", "es"))
+
+  val LangThreshold = 0.05
+
+  /** Language ID: score every candidate language by its stopword
+    * hit-ratio, emit the argmax (below threshold → 'und'; ties resolve
+    * in profile order). A per-row scoring pass with zero shuffles —
+    * at 100 TB it fuses into the ingest scan.
     */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     val nTok = greatest(size(toksCol).cast("double"), lit(1.0))
     def ratio(words: Seq[String]): Column =
       size(filter(toksCol, t => array_contains(array(words.map(lit): _*), t)))
         .cast("double") / nTok
-    val en = ratio(Seq("the", "a", "of", "and", "is"))
-    val guess = when(en >= lit(0.05), lit("en")).otherwise(lit("und"))
+    val ratios = LangProfiles.map { case (l, words) => l -> ratio(words) }
+    val best = greatest(ratios.map(_._2): _*)
+    // First profile (in declaration order) hitting the max wins ties.
+    val argmax = ratios.foldRight(lit("und"): Column) { case ((l, r), acc) =>
+      when(r === best, lit(l)).otherwise(acc)
+    }
+    val guess = when(best >= LangThreshold, argmax).otherwise(lit("und"))
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("lang"),
-        round(en, 4).as("en_ratio"),
-        guess.as("lang_guess"),
-        (col("lang") === guess).as("agrees"))
+      .select(Seq(col("doc_id"), col("lang")) ++
+        ratios.map { case (l, r) => round(r, 4).as(s"${l}_ratio") } ++
+        Seq(guess.as("lang_guess"), (col("lang") === guess).as("agrees")): _*)
       .orderBy("doc_id")
   }
 
@@ -160,20 +176,31 @@ object TextAnalysis {
          |             + 0.4 * (1.0 - punct_ratio)
          |             + 0.2 * least(1.0, stop_ratio * 10.0), 4) AS quality_score
          |FROM m ORDER BY doc_id""".stripMargin,
-    "q_text_langid" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang,
-        |         list_filter(string_split(text, ' '), t -> t != '') AS toks
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id, lang,
-        |         CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
-        |           / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS en
-        |  FROM t)
-        |SELECT doc_id, lang, round(en, 4) AS en_ratio,
-        |       CASE WHEN en >= 0.05 THEN 'en' ELSE 'und' END AS lang_guess,
-        |       (lang = CASE WHEN en >= 0.05 THEN 'en' ELSE 'und' END) AS agrees
-        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_text_langid" -> {
+      val ratioExprs = LangProfiles.map { case (l, words) =>
+        val list = words.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(toks, t -> t IN ($list))) AS DOUBLE)\n           / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS $l"
+      }.mkString(",\n         ")
+      val langs = LangProfiles.map(_._1)
+      val best = s"greatest(${langs.mkString(", ")})"
+      val argmax = langs.reverse.foldLeft("'und'") { (acc, l) =>
+        s"CASE WHEN $l = $best THEN '$l' ELSE $acc END"
+      }
+      val guess = s"CASE WHEN $best >= $LangThreshold THEN $argmax ELSE 'und' END"
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |         list_filter(string_split(text, ' '), t -> t != '') AS toks
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang,
+         |         $ratioExprs
+         |  FROM t)
+         |SELECT doc_id, lang,
+         |       ${langs.map(l => s"round($l, 4) AS ${l}_ratio").mkString(",\n       ")},
+         |       $guess AS lang_guess,
+         |       (lang = $guess) AS agrees
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
     "q_text_fingerprint" ->
       """WITH g AS (
         |  SELECT doc_id,
