@@ -202,7 +202,26 @@ object Analytics {
         translate(col("c_name"), "#0", "_ ").as("translated"))
       .orderBy("c_custkey")
 
+  /** Sketch aggregates — the cardinality/quantile tools that replace
+    * exact distinct counts at 100 TB: HyperLogLog++ distinct (2%
+    * relative error, fixed 16 KB of state per group vs an unbounded
+    * distinct-set) and GK approximate percentiles. No SQL oracle —
+    * sketch outputs are engine-specific; the driver records the
+    * rows-only check, and the exact counterparts (`q_agg_distinct`,
+    * `q_percentiles`) remain fully oracle-verified.
+    */
+  def approxStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_stats" -> (approxStats _),
     "q_cube" -> (cubeAgg _),
     "q_grouping_sets" -> (groupingSetsAgg _),
     "q_stats_agg" -> (statsAgg _),

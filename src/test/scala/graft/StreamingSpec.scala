@@ -113,4 +113,51 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(keys.toSeq == Seq("a", "b"))
   }
+
+  test("streaming sessionize agrees with the batch gap-sessionization") {
+    import org.apache.spark.sql.expressions.Window
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(3)
+    val base = Timestamp.valueOf("2024-05-01 00:00:00").getTime
+    // 3 users x 40 events with gaps straddling the 30-min session cut.
+    val events = (1 to 120).map { i =>
+      val user = (i % 3 + 1).toLong
+      val t = base + (i / 3) * 5 * 60 * 1000L + // 5-min steps
+        (if (rnd.nextInt(10) == 0) 3 * 60 * 60 * 1000L else 0L) + user * 1000L
+      Event(user, new Timestamp(t), "e", 1.0)
+    }.sortBy(_.ts.getTime)
+
+    // Batch: lag/cumsum gap sessionization (Relational.sessionize shape).
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val gapMs = Streaming.SessionGapMs
+    val batch = events.toDF()
+      .withColumn("prev", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - col("prev") > gapMs * 1000, 1).otherwise(0))
+      .withColumn("sess", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess")
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .collect().map(_.toSeq).toSet
+
+    // Stream: same events + a far-future sentinel (user 99) to advance
+    // the watermark past every real session's timeout.
+    val mem = MemoryStream[Event]
+    val q = Streaming.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess_parity")
+      .outputMode("append").start()
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    mem.addData(Event(99L, new Timestamp(base + 365L * 24 * 3600 * 1000), "e", 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("sess_parity")
+      .filter(col("user_id") =!= 99L)
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .collect().map(_.toSeq).toSet
+    q.stop()
+    assert(streamed == batch)
+  }
 }
