@@ -38,4 +38,19 @@ object Sinks {
   def parquet(df: DataFrame, path: String, singleObject: Boolean = false): Unit =
     (if (singleObject) df.coalesce(1) else df)
       .write.mode("overwrite").parquet(path)
+
+  /** Hive-style partitioned parquet sink with DYNAMIC overwrite: only
+    * the partitions present in `df` are replaced; everything else is
+    * untouched. This is the incremental-rebuild pattern for a date-
+    * partitioned gold mart at 100 TB — a daily job overwrites one
+    * day's directory instead of the whole table, and date-filtered
+    * readers prune to the partitions they touch (PartitionFilters in
+    * the scan, proven by SinksSpec).
+    */
+  def partitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      .partitionBy(partitionCols: _*)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path)
 }
