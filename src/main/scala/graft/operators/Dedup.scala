@@ -62,6 +62,21 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"), md5(col("text")).as("text_md5"))
       .orderBy("keep_id")
 
+  /** Exact dedup keyed on the 8-byte content fingerprint instead of
+    * the full text — the 100 TB variant of [[exact]]: the shuffle
+    * carries (hash60, doc_id) = 16 bytes/row instead of whole
+    * documents, at the (astronomically small) cost of 60-bit collision
+    * risk. Same grouping decisions as [[exact]] whenever no collision
+    * occurs.
+    */
+  def exactByFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), hash60(col("text")).as("fp60"))
+      .groupBy(col("fp60"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), col("fp60"))
+      .orderBy("keep_id")
+
   /** Distinct (doc_id, 3-gram shingle) pairs — the inverted index all
     * near-dup tiers build on.
     */
@@ -265,6 +280,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (exact _),
+    "q_dedup_exact_fp" -> (exactByFingerprint _),
     "q_dedup_jaccard" -> (ngramJaccard _),
     "q_dedup_minhash" -> (minHashLsh _),
     "q_dedup_simhash" -> (simHashPairs _),
@@ -334,6 +350,10 @@ object Dedup {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS text_md5
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q_dedup_exact_fp" ->
+      s"""SELECT min(doc_id) AS keep_id, count(*) AS n_copies, fp60
+         |FROM (SELECT doc_id, ${h60.format("text")} AS fp60 FROM documents)
+         |GROUP BY fp60 ORDER BY keep_id""".stripMargin,
     "q_dedup_jaccard" ->
       s"""WITH $shingleCte,
          |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
