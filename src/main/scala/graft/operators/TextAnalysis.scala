@@ -137,16 +137,86 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** Corpus filtering by quality score — the C4/Gopher-style "keep
+    * documents above the bar" step downstream of [[qualityScore]].
+    * Emits survivors with their scores; the filter is the same scoring
+    * expression, so this fuses score+filter into one scan pass (no
+    * intermediate materialization of scores).
+    */
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame =
+    qualityScore(spark, sfDir)
+      .filter(col("quality_score") >= 0.7 && col("punct_ratio") <= 0.3)
+      .orderBy("doc_id")
+
+  /** Token-bigram corpus statistics (the n-gram LM building block):
+    * top bigrams with document frequency. Same map-side-combine shape
+    * as [[termFreq]], over the 2-gram shingle set.
+    */
+  def bigramStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(shingleSet(col("text"), 2)).as("bigram"))
+      .groupBy("bigram")
+      .agg(countDistinct("doc_id").as("df"))
+      .orderBy(col("df").desc, col("bigram"))
+      .limit(40)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokens" -> (tokenCounts _),
     "q_text_quality" -> (qualityScore _),
+    "q_text_quality_filter" -> (qualityFilter _),
     "q_text_langid" -> (langId _),
     "q_text_fingerprint" -> (fingerprint _),
-    "q_text_term_freq" -> (termFreq _))
+    "q_text_term_freq" -> (termFreq _),
+    "q_text_bigrams" -> (bigramStats _))
 
   private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Quality-score SQL body sans ORDER BY — shared by the score and
+    * filter oracles (the filter applies to the ROUNDED outputs, same
+    * as the Spark side filtering qualityScore's result columns).
+    */
+  private lazy val qualitySqlBody: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(text, ' '), t -> t != '') AS toks,
+       |         length(text) AS tl,
+       |         length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS np
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |         CAST(len(toks) AS DOUBLE) AS ntok,
+       |         CAST(np AS DOUBLE) / greatest(CAST(tl AS DOUBLE), 1.0) AS punct_ratio,
+       |         CAST(len(list_filter(toks, t -> t IN ($stopList))) AS DOUBLE)
+       |           / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS stop_ratio
+       |  FROM t)
+       |SELECT doc_id,
+       |       CAST(ntok AS INT) AS n_tokens,
+       |       round(stop_ratio, 4) AS stopword_ratio,
+       |       round(punct_ratio, 4) AS punct_ratio,
+       |       round(0.4 * least(1.0, ntok / 50.0)
+       |             + 0.4 * (1.0 - punct_ratio)
+       |             + 0.2 * least(1.0, stop_ratio * 10.0), 4) AS quality_score
+       |FROM m""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_text_quality_filter" ->
+      s"""SELECT * FROM ($qualitySqlBody)
+         |WHERE quality_score >= 0.7 AND punct_ratio <= 0.3
+         |ORDER BY doc_id""".stripMargin,
+    "q_text_bigrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS tk
+        |  FROM documents),
+        |ex AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(CASE WHEN len(tk) >= 2
+        |                THEN list_transform(range(1, len(tk)),
+        |                     i -> array_to_string(list_slice(tk, i, i + 1), ' '))
+        |                ELSE [] END) AS bigram
+        |  FROM toks)
+        |SELECT bigram, count(DISTINCT doc_id) AS df
+        |FROM ex GROUP BY bigram
+        |ORDER BY df DESC, bigram LIMIT 40""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id, n_chars,
         |       CAST(length(text) AS INT) AS n_chars_actual,
@@ -154,28 +224,7 @@ object TextAnalysis {
         |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |         list_filter(string_split(text, ' '), t -> t != '') AS toks,
-         |         length(text) AS tl,
-         |         length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS np
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id,
-         |         CAST(len(toks) AS DOUBLE) AS ntok,
-         |         CAST(len(list_filter(toks, t -> t IN ($stopList))) AS DOUBLE) AS nstop,
-         |         CAST(np AS DOUBLE) / greatest(CAST(tl AS DOUBLE), 1.0) AS punct_ratio,
-         |         CAST(len(list_filter(toks, t -> t IN ($stopList))) AS DOUBLE)
-         |           / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS stop_ratio
-         |  FROM t)
-         |SELECT doc_id,
-         |       CAST(ntok AS INT) AS n_tokens,
-         |       round(stop_ratio, 4) AS stopword_ratio,
-         |       round(punct_ratio, 4) AS punct_ratio,
-         |       round(0.4 * least(1.0, ntok / 50.0)
-         |             + 0.4 * (1.0 - punct_ratio)
-         |             + 0.2 * least(1.0, stop_ratio * 10.0), 4) AS quality_score
-         |FROM m ORDER BY doc_id""".stripMargin,
+      s"""SELECT * FROM ($qualitySqlBody) ORDER BY doc_id""".stripMargin,
     "q_text_langid" -> {
       val ratioExprs = LangProfiles.map { case (l, words) =>
         val list = words.map(w => s"'$w'").mkString(", ")
