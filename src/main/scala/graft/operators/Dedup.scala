@@ -278,9 +278,36 @@ object Dedup {
       .orderBy("cluster")
   }
 
+  /** The end-product of the dedup pipeline: the surviving corpus.
+    * A document survives iff it is BOTH
+    *   - the canonical copy of its exact-duplicate group (min doc_id
+    *     per identical text), and
+    *   - the canonical member of its near-dup cluster (min doc_id per
+    *     connected component of the MinHash pair graph; docs in no
+    *     pair are their own cluster).
+    * This is the query a training-data engineer actually materializes;
+    * the per-tier queries above are its building blocks / audit views.
+    */
+  def survivors(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val exactKeepers = docs
+      .groupBy("text").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val nonCanonical = nearDupClusters(spark, sfDir)
+      .select(col("cluster"), explode(split(col("members"), ",")).as("m"))
+      .select(col("cluster"), col("m").cast("long").as("doc_id"))
+      .filter(col("doc_id") =!= col("cluster"))
+      .select("doc_id")
+    docs.select("doc_id", "lang", "n_chars")
+      .join(exactKeepers, Seq("doc_id"), "left_semi")
+      .join(nonCanonical, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (exact _),
     "q_dedup_exact_fp" -> (exactByFingerprint _),
+    "q_dedup_survivors" -> (survivors _),
     "q_dedup_jaccard" -> (ngramJaccard _),
     "q_dedup_minhash" -> (minHashLsh _),
     "q_dedup_simhash" -> (simHashPairs _),
@@ -371,6 +398,24 @@ object Dedup {
     "q_dedup_minhash" ->
       s"""WITH $minhashPairCtes
          |SELECT a_id, b_id, est_jaccard FROM mh_pairs ORDER BY 1, 2""".stripMargin,
+    "q_dedup_survivors" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |bi AS (
+         |  SELECT a_id AS src, b_id AS dst FROM mh_pairs
+         |  UNION ALL SELECT b_id, a_id FROM mh_pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM bi),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT bi.dst, r.label FROM reach r JOIN bi ON bi.src = r.id),
+         |lab AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+         |exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |non_canon AS (SELECT id AS doc_id FROM lab WHERE id <> cluster)
+         |SELECT d.doc_id, d.lang, d.n_chars
+         |FROM documents d
+         |WHERE d.doc_id IN (SELECT doc_id FROM exact_keep)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM non_canon)
+         |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE $minhashPairCtes,
          |bi AS (

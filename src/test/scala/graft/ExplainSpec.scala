@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.{Relational, VendasMart}
+
+/** Plan-shape regressions as test failures: the properties PLANS.md
+  * documents (scan pruning, filter pushdown, broadcast joins in the
+  * mart) must hold on every build, not just when someone re-reads the
+  * dump.
+  */
+class ExplainSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("filter+project pushes predicates into the parquet scan") {
+    val plan = planOf(Relational.filterProject(spark, sf))
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("GreaterThan"), plan.take(2000))
+  }
+
+  test("mart reads only referenced columns and broadcasts every dimension") {
+    val plan = planOf(VendasMart.mart(spark, sf))
+    // Column pruning: the lineitem scan must NOT read all 11 columns.
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty)
+    val lineitemSchema = readSchemas.find(_.contains("l_orderkey")).get
+    assert(lineitemSchema.split(",").length <= 5, lineitemSchema)
+    // Join strategy: all dimension joins broadcast; no sort-merge join.
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins")
+    assert(!plan.contains("SortMergeJoin"), "mart must not sort-merge at test scale")
+  }
+
+  test("pivot carries the explicit value list (no distinct-discovery job)") {
+    // With explicit pivot values the plan is a single aggregate chain;
+    // Spark's value-discovery variant would have run a separate job by
+    // the time the plan exists. Assert the five typed columns are in
+    // the schema without any action having run.
+    val df = VendasMart.eventsPivot(spark, sf)
+    assert(df.columns.toSeq == "user_id" +: VendasMart.EventTypes)
+  }
+}
