@@ -304,10 +304,64 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Incremental dedup: admit a NEW batch of documents against an
+    * EXISTING corpus without re-clustering the world — the daily
+    * operation at 100 TB, where the corpus's signatures/bands are a
+    * persisted index and only the batch is hashed fresh.
+    *
+    * Here the split is simulated on the one documents table
+    * (doc_id < 250 = corpus, >= 250 = batch). A newcomer is rejected
+    * if its text matches a corpus doc exactly, or if it shares a
+    * MinHash band bucket with a corpus doc AND ≥ 8/16 signature slots
+    * agree. Cost shape: batch-side hashing is O(|batch|); the band
+    * join touches only colliding buckets of the corpus index.
+    */
+  def incremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") < 250)
+    val batch = docs.filter(col("doc_id") >= 250)
+
+    val exactHit = batch.as("b")
+      .join(corpus.as("c"), col("b.text") === col("c.text"), "left_semi")
+      .select(col("doc_id"))
+
+    def banded(df: DataFrame): DataFrame = {
+      val sig = minHashSignaturesOf(df)
+      val bandKeys = (0 until NumBands).map { bnd =>
+        val slots = (0 until BandRows).map(r => col(s"m${bnd * BandRows + r}"))
+        md5(concat_ws(",", slots: _*))
+      }
+      sig.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
+    }
+    val sigB = minHashSignaturesOf(batch)
+    val sigC = minHashSignaturesOf(corpus)
+    val agree = (0 until NumHashes)
+      .map(i => when(col(s"bm$i") === col(s"cm$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val nearHit = banded(batch).as("x")
+      .join(banded(corpus).as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id").as("b_id"), col("y.doc_id").as("c_id"))
+      .distinct()
+      .join(sigB.select(col("doc_id").as("b_id") +:
+        (0 until NumHashes).map(i => col(s"m$i").as(s"bm$i")): _*), Seq("b_id"))
+      .join(sigC.select(col("doc_id").as("c_id") +:
+        (0 until NumHashes).map(i => col(s"m$i").as(s"cm$i")): _*), Seq("c_id"))
+      .filter(agree >= NumHashes / 2)
+      .select(col("b_id").as("doc_id"))
+
+    batch.select("doc_id")
+      .join(exactHit.unionByName(nearHit).distinct()
+        .withColumn("dup", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dup"), lit(false)).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (exact _),
     "q_dedup_exact_fp" -> (exactByFingerprint _),
     "q_dedup_survivors" -> (survivors _),
+    "q_dedup_incremental" -> (incremental _),
     "q_dedup_jaccard" -> (ngramJaccard _),
     "q_dedup_minhash" -> (minHashLsh _),
     "q_dedup_simhash" -> (simHashPairs _),
@@ -398,6 +452,30 @@ object Dedup {
     "q_dedup_minhash" ->
       s"""WITH $minhashPairCtes
          |SELECT a_id, b_id, est_jaccard FROM mh_pairs ORDER BY 1, 2""".stripMargin,
+    "q_dedup_incremental" -> {
+      val agree = (0 until NumHashes)
+        .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $minhashPairCtes,
+         |hit_exact AS (
+         |  SELECT DISTINCT b.doc_id FROM documents b JOIN documents c
+         |    ON b.text = c.text AND b.doc_id >= 250 AND c.doc_id < 250),
+         |xcand AS (
+         |  SELECT DISTINCT x.doc_id AS b_id, y.doc_id AS c_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket
+         |   AND x.doc_id >= 250 AND y.doc_id < 250),
+         |hit_near AS (
+         |  SELECT DISTINCT b_id AS doc_id
+         |  FROM xcand
+         |  JOIN sig sa ON xcand.b_id = sa.doc_id
+         |  JOIN sig sb ON xcand.c_id = sb.doc_id
+         |  WHERE ($agree) >= ${NumHashes / 2})
+         |SELECT d.doc_id,
+         |       (d.doc_id IN (SELECT doc_id FROM hit_exact)
+         |        OR d.doc_id IN (SELECT doc_id FROM hit_near)) AS is_dup
+         |FROM documents d WHERE d.doc_id >= 250 ORDER BY d.doc_id""".stripMargin
+    },
     "q_dedup_survivors" ->
       s"""WITH RECURSIVE $minhashPairCtes,
          |bi AS (
