@@ -191,6 +191,33 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Symmetric int8 quantization of the embedding column — the ANN
+    * index memory-reduction step (4× smaller than float32, 8× smaller
+    * than the double working type; at 100 TB of vectors the index
+    * either quantizes or doesn't fit). Per-vector max-abs scaling;
+    * q_i = floor(v_i/scale + 0.5) ∈ [-127, 127]. Emits audit stats
+    * (quantized sum/min/max and reconstruction MSE) rather than the
+    * array itself so the oracle compare stays scalar.
+    */
+  def quantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = toDoubleArray(col("embedding"))
+    val maxabs = greatest(array_max(transform(v, x => abs(x))), lit(1e-12))
+    val scale = maxabs / lit(127.0)
+    val q = transform(v, x => floor(x / scale + lit(0.5)).cast("long"))
+    val mse = aggregate(
+      zip_with(v, q, (x, qq) => (x - qq.cast("double") * scale) * (x - qq.cast("double") * scale)),
+      lit(0.0), (acc, e) => acc + e) / lit(Dim.toDouble)
+    Tables.embeddings(spark, sfDir)
+      .select(
+        col("vec_id"),
+        round(scale, 8).as("scale"),
+        aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min(q).cast("int").as("q_min"),
+        array_max(q).cast("int").as("q_max"),
+        round(mse, 6).as("mse"))
+      .orderBy("vec_id")
+  }
+
   /** Bucket occupancy histogram — the ANN index "stats page"; also a
     * cheap skew check (a hot bucket ⇒ add planes or re-salt).
     */
@@ -206,6 +233,7 @@ object Similarity {
     "q_sim_topk_agg" -> (topKAgg _),
     "q_sim_lsh_topk" -> (lshTopK _),
     "q_sim_ivf_topk" -> (ivfTopK _),
+    "q_sim_quantize" -> (quantize _),
     "q_sim_buckets" -> (bucketStats _))
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -251,6 +279,26 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK ORDER BY 1, 2""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_sim_quantize" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, v,
+         |         greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0 AS scale
+         |  FROM e),
+         |q AS (
+         |  SELECT vec_id, v, scale,
+         |         list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+         |  FROM s)
+         |SELECT vec_id,
+         |       round(scale, 8) AS scale,
+         |       list_reduce(qv, (a, b) -> a + b) AS q_sum,
+         |       CAST(list_min(qv) AS INT) AS q_min,
+         |       CAST(list_max(qv) AS INT) AS q_max,
+         |       round(list_reduce(list_transform(range(1, ${Dim + 1}),
+         |               i -> (v[i] - qv[i] * scale) * (v[i] - qv[i] * scale)),
+         |             (a, b) -> a + b) / ${Dim}.0, 6) AS mse
+         |FROM q ORDER BY vec_id""".stripMargin,
     "q_sim_ivf_topk" ->
       s"""WITH vecs AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v,
