@@ -165,6 +165,28 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** Right-outer join — the mirror of the reference's left joins;
+    * kept distinct from full-outer for completeness of the join-type
+    * matrix. Catalyst plans it as the flipped left-outer.
+    */
+  def joinRightOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val bigOrders = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 4).as("price"))
+    bigOrders
+      .join(Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"), "right_outer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("o_orderkey"), col("price"))
+      .orderBy("c_custkey", "o_orderkey")
+  }
+
+  /** Cross join of the two smallest dimensions — the only sane cross
+    * product: both sides tiny, result bounded (|nation|×|region|).
+    */
+  def joinCross(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+      .crossJoin(Tables.region(spark, sfDir).select(col("r_regionkey"), col("r_name")))
+      .orderBy("n_nationkey", "r_regionkey")
+
   /** Date/time scalar family over the order date (reference uses only
     * to_datetime + .dt.date, SURVEY.md §2.6 F1-F2; this is the rest of
     * the family an engine needs).
@@ -229,6 +251,8 @@ object Analytics {
     "q_conditional_agg" -> (conditionalAgg _),
     "q_window_shift" -> (windowShift _),
     "q_join_full_outer" -> (joinFullOuter _),
+    "q_join_right_outer" -> (joinRightOuter _),
+    "q_join_cross" -> (joinCross _),
     "q_scalar_subquery" -> (scalarSubquery _),
     "q_salted_agg" -> (saltedAgg _),
     "q_date_funcs" -> (dateFuncs _),
@@ -291,6 +315,20 @@ object Analytics {
         |FROM (SELECT c_custkey, c_mktsegment FROM customer) c
         |FULL OUTER JOIN agg a ON c.c_custkey = a.o_custkey
         |ORDER BY custkey""".stripMargin,
+    "q_join_right_outer" ->
+      """WITH big AS (
+        |  SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS price
+        |  FROM orders WHERE o_totalprice > 400000)
+        |SELECT c.c_custkey, c.c_mktsegment, big.o_orderkey, big.price
+        |FROM big RIGHT OUTER JOIN
+        |     (SELECT c_custkey, c_mktsegment FROM customer) c
+        |  ON big.o_custkey = c.c_custkey
+        |ORDER BY c.c_custkey, big.o_orderkey""".stripMargin,
+    "q_join_cross" ->
+      """SELECT n_nationkey, n_name, r_regionkey, r_name
+        |FROM (SELECT n_nationkey, n_name FROM nation)
+        |CROSS JOIN (SELECT r_regionkey, r_name FROM region)
+        |ORDER BY n_nationkey, r_regionkey""".stripMargin,
     "q_scalar_subquery" ->
       """SELECT l_returnflag, count(*) AS n_above,
         |       round(sum(l_quantity), 4) AS sum_qty_above
