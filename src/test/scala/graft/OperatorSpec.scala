@@ -260,4 +260,25 @@ class OperatorSpec extends SparkSpec {
     val again = embed(items).collect().sortBy(_.id)
     assert(es.map(_.embedding.toSeq).toSeq == again.map(_.embedding.toSeq).toSeq)
   }
+
+  test("near-dup clustering groups transitive LSH pairs to the min doc_id") {
+    // Three exact-duplicate families -> identical signatures -> LSH
+    // pairs within each family; plus one loner. Transitivity: 1-2 and
+    // 2-9 pair, so {1,2,9} must share cluster 1 even if 1-9 never met.
+    val dir = tmpDir("toydocs")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (9L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four five six seven"),
+      (7L, "lonely document with unique words entirely"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val clusters = Dedup.nearDupClusters(spark, dir).collect()
+      .map(r => r.getAs[Long]("cluster") -> r.getAs[String]("members")).toMap
+    assert(clusters(1L) == "1,2,9")
+    assert(clusters(3L) == "3,4")
+    assert(!clusters.contains(7L)) // loner: no pairs, not in the graph
+  }
 }
