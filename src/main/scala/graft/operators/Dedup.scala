@@ -357,11 +357,38 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware canonical selection: within each near-dup cluster
+    * keep the HIGHEST-quality member (TextAnalysis score; doc_id
+    * breaks ties) instead of the arbitrary min-id — what a real corpus
+    * pipeline does, since near-dups differ in boilerplate/noise. One
+    * join of the cluster membership against the per-doc scores plus a
+    * size-|cluster| window — the scores come from the same scan pass
+    * at production scale.
+    */
+  def bestOfCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = nearDupClusters(spark, sfDir)
+      .select(col("cluster"), col("cluster_size"),
+        explode(split(col("members"), ",")).as("m"))
+      .select(col("cluster"), col("cluster_size"), col("m").cast("long").as("doc_id"))
+    val scores = TextAnalysis.qualityScore(spark, sfDir)
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    members.join(scores, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("doc_id").as("keep_id"),
+        col("quality_score").as("best_quality"), col("cluster_size"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (exact _),
     "q_dedup_exact_fp" -> (exactByFingerprint _),
     "q_dedup_survivors" -> (survivors _),
     "q_dedup_incremental" -> (incremental _),
+    "q_dedup_best_keep" -> (bestOfCluster _),
     "q_dedup_jaccard" -> (ngramJaccard _),
     "q_dedup_minhash" -> (minHashLsh _),
     "q_dedup_simhash" -> (simHashPairs _),
@@ -452,6 +479,28 @@ object Dedup {
     "q_dedup_minhash" ->
       s"""WITH $minhashPairCtes
          |SELECT a_id, b_id, est_jaccard FROM mh_pairs ORDER BY 1, 2""".stripMargin,
+    "q_dedup_best_keep" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |bi AS (
+         |  SELECT a_id AS src, b_id AS dst FROM mh_pairs
+         |  UNION ALL SELECT b_id, a_id FROM mh_pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM bi),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT bi.dst, r.label FROM reach r JOIN bi ON bi.src = r.id),
+         |lab AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+         |csize AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster),
+         |q AS (${TextAnalysis.qualitySqlBody.replace("\n", "\n       ")}),
+         |ranked AS (
+         |  SELECT lab.cluster, lab.id, q.quality_score,
+         |         row_number() OVER (PARTITION BY lab.cluster
+         |                            ORDER BY q.quality_score DESC, lab.id) AS rn
+         |  FROM lab JOIN q ON q.doc_id = lab.id)
+         |SELECT r.cluster, r.id AS keep_id, r.quality_score AS best_quality,
+         |       c.cluster_size
+         |FROM ranked r JOIN csize c ON c.cluster = r.cluster
+         |WHERE r.rn = 1 ORDER BY r.cluster""".stripMargin,
     "q_dedup_incremental" -> {
       val agree = (0 until NumHashes)
         .map(i => s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END")

@@ -175,7 +175,7 @@ object TextAnalysis {
     * filter oracles (the filter applies to the ROUNDED outputs, same
     * as the Spark side filtering qualityScore's result columns).
     */
-  private lazy val qualitySqlBody: String =
+  private[operators] lazy val qualitySqlBody: String =
     s"""WITH t AS (
        |  SELECT doc_id,
        |         list_filter(string_split(text, ' '), t -> t != '') AS toks,

@@ -133,4 +133,11 @@ class GraftExpressionsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(newSh == oldSh)
   }
+
+  test("GraftExtensions registers its functions through the extensions hook") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext) // must not throw
+    assert(graft.plans.GraftExtensions.functions.map(_._1.funcName).sorted ==
+      Seq("graft_dot", "graft_shingles"))
+  }
 }
