@@ -162,11 +162,18 @@ object Dedup {
     val agree = (0 until NumHashes)
       .map(i => when(col(s"am$i") === col(s"bm$i"), 1).otherwise(0))
       .reduce(_ + _)
-    cand.join(sa, Seq("a_id")).join(sb, Seq("b_id"))
+    val pairs = cand.join(sa, Seq("a_id")).join(sb, Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         round(agree.cast("double") / NumHashes, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= lit(0.5))
-      .orderBy("a_id", "b_id")
+    // The pair set is the shared substrate of four queries (pairs,
+    // clustering, survivors, best-keep). Marking it cached lets the
+    // CacheManager substitute the materialized fragment wherever the
+    // same logical subtree reappears in one session — the index-reuse
+    // pattern a persisted LSH index gives at cluster scale. The pair
+    // set is tiny (≲ thousands of rows); memory cost is negligible.
+    pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    pairs.orderBy("a_id", "b_id")
   }
 
   /** Frequency-weighted 60-bit SimHash per doc in ONE map-side pass —
