@@ -160,7 +160,28 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("bigram"))
       .limit(40)
 
+  /** Deterministic hash-based corpus split (train/val/test 90/5/5 by
+    * content hash): reproducible across runs, engines, and cluster
+    * sizes because the split key is `hash60(text) mod 100` — no RNG,
+    * no partition-order dependence (the failure mode of
+    * `randomSplit` at scale). Emits per-split×lang counts as the
+    * audit view; the assignment itself is a pure projection any
+    * downstream job recomputes for free.
+    */
+  def corpusSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = hash60(col("text")) % 100
+    val split = when(bucket < 90, "train")
+      .when(bucket < 95, "val")
+      .otherwise("test")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), split.as("split"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("split", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_split" -> (corpusSplit _),
     "q_text_tokens" -> (tokenCounts _),
     "q_text_quality" -> (qualityScore _),
     "q_text_quality_filter" -> (qualityFilter _),
@@ -199,6 +220,15 @@ object TextAnalysis {
        |FROM m""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_corpus_split" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 < 90 THEN 'train'
+        |              WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 < 95 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, lang, count(*) AS n_docs
+        |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "q_text_quality_filter" ->
       s"""SELECT * FROM ($qualitySqlBody)
          |WHERE quality_score >= 0.7 AND punct_ratio <= 0.3
