@@ -47,6 +47,21 @@ object Streaming {
       .start()
   }
 
+  /** File-source stream over the harness `events.parquet` — the
+    * streaming twin of `Tables.events`, including the nanosecond-
+    * timestamp handling (read raw int64 nanos, divide to micros).
+    * `AvailableNow` processes the existing file(s) and terminates;
+    * on a re-run with the same checkpoint only new files replay.
+    */
+  def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream
     * (ts, event_type, value) — the streaming twin of the batch
     * `q_time_window_agg`. Late rows beyond 10 minutes are dropped and

@@ -160,4 +160,30 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(streamed == batch)
   }
+
+  test("file-source events stream reproduces the batch windowed aggregation") {
+    val sf = "/root/testdata/sf0.001"
+    val ckpt = tmpDir("evckpt")
+    // File source needs a directory: stage the single events file.
+    val evDir = tmpDir("events_dir")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(evDir, "part-0.parquet"))
+    val agg = Streaming.windowedCounts(Streaming.eventsStream(spark, evDir))
+    val q = agg.writeStream.format("memory").queryName("ev_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination(120000)
+    // Append mode only emits windows the watermark has passed; every
+    // emitted row must match the batch computation exactly.
+    val batch = Streaming.windowedCounts(
+      graft.Tables.events(spark, sf)).collect()
+      .map(_.toSeq).toSet
+    val streamed = spark.table("ev_stream").collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      s"streamed rows not in batch: ${streamed.diff(batch).take(3)}")
+  }
 }
