@@ -180,8 +180,48 @@ object TextAnalysis {
       .orderBy("split", "lang")
   }
 
+  /** Sequence packing: assign documents to fixed-token-budget packs
+    * (the pretraining batch-assembly step). Standard streaming
+    * packing — docs in deterministic order, pack id = floor(running
+    * token total / budget); emits per-pack fill statistics. The
+    * running sum is one window over the global order: at 100 TB the
+    * order key becomes (shard, doc) so each shard packs
+    * independently — same expression, partitioned window.
+    */
+  def sequencePack(spark: SparkSession, sfDir: String, budget: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("pack_id", (col("before") / budget).cast("long"))
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("pack_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("pack_id")
+  }
+
+  /** Language-mix sampling: cap each language at a quota, keeping the
+    * deterministically-ranked first `quota` docs per language
+    * (hash-ranked — reproducible, unbiased by doc_id order). The data
+    * mixing step that rebalances a multilingual corpus. One window
+    * per language partition; emits the per-language kept counts.
+    */
+  def langMix(spark: SparkSession, sfDir: String, quota: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy(hash60(col("text")), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= quota)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), round(avg("n_chars"), 4).as("avg_chars"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_split" -> (corpusSplit _),
+    "q_corpus_pack" -> ((s: SparkSession, d: String) => sequencePack(s, d)),
+    "q_corpus_mix" -> ((s: SparkSession, d: String) => langMix(s, d)),
     "q_text_tokens" -> (tokenCounts _),
     "q_text_quality" -> (qualityScore _),
     "q_text_quality_filter" -> (qualityFilter _),
@@ -229,6 +269,28 @@ object TextAnalysis {
         |  FROM documents)
         |SELECT split, lang, count(*) AS n_docs
         |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "q_corpus_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tok,
+        |         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM t)
+        |SELECT before // 2048 AS pack_id,
+        |       count(*) AS n_docs, sum(n_tok) AS pack_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_corpus_mix" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY CAST('0x' || substr(md5(text), 1, 15) AS BIGINT), doc_id) AS rnk
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_kept, round(avg(n_chars), 4) AS avg_chars
+        |FROM r WHERE rnk <= 60 GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_quality_filter" ->
       s"""SELECT * FROM ($qualitySqlBody)
          |WHERE quality_score >= 0.7 AND punct_ratio <= 0.3
