@@ -54,15 +54,24 @@ object OlistVendas {
       .pivot("payment_type", PaymentTypes)
       .sum("payment_value")                                           // :91-92
 
-    val joined = items
-      .join(orders, Seq("order_id"), "left")                          // :107-108
-      .join(products, Seq("product_id"), "left")                      // :109
-      .join(customers, Seq("customer_id"), "left")                    // :110
-      .join(paymentsPivot, Seq("order_id"), "left")                   // :111
+    // joins :107-111, fillna :114-120, transforms+rename :123-149
+    martFrom(items, orders, products, customers, paymentsPivot)
+  }
 
-    joined
-      .na.fill(0.0, MoneyCols)                                        // :114-120
-      .select(                                                        // :123-149
+  /** The mart projection shared by the batch and streaming variants:
+    * joins the (possibly streaming) item grain against the static
+    * dimension frames and applies fillna / scalar transforms / the
+    * Portuguese rename. Extracted so the two variants cannot drift.
+    */
+  def martFrom(items: DataFrame, orders: DataFrame, products: DataFrame,
+      customers: DataFrame, paymentsPivot: DataFrame): DataFrame =
+    items
+      .join(orders, Seq("order_id"), "left")
+      .join(products, Seq("product_id"), "left")
+      .join(customers, Seq("customer_id"), "left")
+      .join(paymentsPivot, Seq("order_id"), "left")
+      .na.fill(0.0, MoneyCols)
+      .select(
         col("order_id").as("PEDIDO"),
         col("product_id").as("ID_PRODUTO"),
         col("customer_id").as("ID_CLIENTE"),
@@ -77,6 +86,32 @@ object OlistVendas {
         col("debit_card").as("VALOR_DEBITO"),
         col("voucher").as("VALOR_VOUCHER"),
         col("not_defined").as("VALOR_NAO_DEFINIDO"))
+
+  /** Incremental (streaming) gold mart: the order-items grain arrives
+    * as a stream (new silver files); dimensions and the payments pivot
+    * are static frames. Stream-static left joins are fully supported
+    * by Structured Streaming with no watermark requirement, so each
+    * micro-batch appends exactly the new items' mart rows — the daily
+    * gold rebuild becomes continuous. The reference's answer to new
+    * data was re-running the whole DAG (`@once`, re-read everything).
+    */
+  def incrementalMart(spark: SparkSession, silverRoot: String): DataFrame = {
+    val itemsSchema = spark.read
+      .parquet(s"$silverRoot/${OlistCatalog.orderItems.prefix}").schema
+    val items = spark.readStream
+      .schema(itemsSchema)
+      .parquet(s"$silverRoot/${OlistCatalog.orderItems.prefix}")
+      .select("order_id", "product_id", "price", "freight_value")
+    val orders = silver(spark, silverRoot, OlistCatalog.orders)
+      .select("order_id", "customer_id", "order_purchase_timestamp")
+    val products = silver(spark, silverRoot, OlistCatalog.products)
+      .select("product_category_name", "product_id")
+    val customers = silver(spark, silverRoot, OlistCatalog.customers)
+      .select("customer_id", "customer_city", "customer_state")
+    val paymentsPivot = silver(spark, silverRoot, OlistCatalog.orderPayments)
+      .select("order_id", "payment_type", "payment_value")
+      .groupBy("order_id").pivot("payment_type", PaymentTypes).sum("payment_value")
+    martFrom(items, orders, products, customers, paymentsPivot)
   }
 
   /** Gold parquet sink + optional JDBC mirror — the reference's

@@ -91,4 +91,51 @@ class OlistPipelineSpec extends SparkSpec {
     assert(o2.getAs[Double]("VALOR_BOLETO") == 59.90)
     assert(o2.getAs[String]("CIDADE_CLIENTE") == "RIO DE JANEIRO")
   }
+
+  test("incremental streaming mart appends exactly the batch mart rows") {
+    val bronze = tmpDir("sbronze2")
+    val silver = tmpDir("ssilver2")
+    // Reuse the same fixture family as the batch test, minimal subset.
+    writeCsv(bronze, "olist/customers",
+      "customer_id,customer_unique_id,customer_zip_code_prefix,customer_city,customer_state",
+      "c1,u1,01310,sao paulo,SP")
+    writeCsv(bronze, "olist/sellers",
+      "seller_id,seller_zip_code_prefix,seller_city,seller_state", "s1,04536,sp,SP")
+    writeCsv(bronze, "olist/geolocation",
+      "geolocation_zip_code_prefix,geolocation_lat,geolocation_lng,geolocation_city,geolocation_state",
+      "01310,-23.5,-46.6,sao paulo,SP")
+    writeCsv(bronze, "olist/products",
+      "product_id,product_category_name,product_name_lenght,product_description_lenght," +
+        "product_photos_qty,product_weight_g,product_length_cm,product_height_cm,product_width_cm",
+      "p1,cama_mesa_banho,40,280,1,750,30,10,20")
+    writeCsv(bronze, "olist/order_payments",
+      "order_id,payment_sequential,payment_type,payment_installments,payment_value",
+      "o1,1,credit_card,3,100.50")
+    writeCsv(bronze, "olist/orders",
+      "order_id,customer_id,order_status,order_purchase_timestamp,order_approved_at," +
+        "order_delivered_carrier_date,order_delivered_customer_date,order_estimated_delivery_date",
+      "o1,c1,delivered,2017-10-02 10:56:33,2017-10-02 11:07:15,,,2017-10-18 00:00:00")
+    writeCsv(bronze, "olist/order_items",
+      "order_id,order_item_id,product_id,seller_id,shipping_limit_date,price,freight_value",
+      "o1,1,p1,s1,2017-10-06 11:07:15,58.90,13.29")
+    writeCsv(bronze, "olist/order_reviews",
+      "review_id,order_id,review_score,review_comment_title,review_comment_message," +
+        "review_creation_date,review_answer_timestamp",
+      "r1,o1,5,,ok,2017-10-11 00:00:00,2017-10-12 03:43:48")
+    graft.sources.IngestJob.runAll(spark, bronze, silver)
+
+    val goldDir = tmpDir("sgold2") + "/stream"
+    val ckpt = tmpDir("sgold2ck")
+    val q = OlistVendas.incrementalMart(spark, silver)
+      .writeStream.format("parquet")
+      .option("path", goldDir).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(goldDir).collect().map(_.toSeq).toSet
+    val batch = OlistVendas.mart(spark, silver).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
