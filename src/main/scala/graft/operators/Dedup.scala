@@ -260,7 +260,12 @@ object Dedup {
     var labels = members.withColumn("label", col("doc_id")).localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    // Iterations needed = component diameter. Near-dup components are
+    // clique unions (diameter ≲ 5); 50 covers any plausible corpus.
+    // If the guard trips, fail loudly — silently emitting unconverged
+    // labels would under-merge clusters.
+    val MaxIters = 50
+    while (changed > 0 && iter < MaxIters) {
       // Each doc adopts min(own label, neighbors' labels).
       val next = edges
         .join(labels.withColumnRenamed("doc_id", "src")
@@ -276,6 +281,8 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (changed > 0) throw new IllegalStateException(
+      s"near-dup label propagation did not converge in $MaxIters iterations")
     labels
       .groupBy("label")
       .agg(count(lit(1)).as("cluster_size"),
