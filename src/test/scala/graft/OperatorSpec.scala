@@ -281,4 +281,26 @@ class OperatorSpec extends SparkSpec {
     assert(clusters(3L) == "3,4")
     assert(!clusters.contains(7L)) // loner: no pairs, not in the graph
   }
+
+  test("incremental dedup flags exact and near-dup newcomers, admits novel docs") {
+    val dir = tmpDir("incdocs")
+    val corpusText = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq(
+      (10L, corpusText),                                   // corpus
+      (11L, "one two three four five six seven eight"),    // corpus
+      (250L, corpusText),                                  // exact dup of 10
+      // Superset text: keeps every corpus shingle (jaccard 6/8) so at
+      // least one band key is extremely likely to survive; the fixed
+      // strings make the outcome deterministic run-to-run.
+      (251L, corpusText + " iota kappa"),                  // near-dup of 10
+      (252L, "completely novel words appearing nowhere else at all"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val res = Dedup.incremental(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_dup")).toMap
+    assert(res(250L))      // exact hit
+    assert(res(251L))      // near hit: shares band buckets + >=8/16 slots
+    assert(!res(252L))     // novel -> admitted
+    assert(res.size == 3)  // corpus rows never appear in the decision
+  }
 }
