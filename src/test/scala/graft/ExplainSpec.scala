@@ -41,4 +41,25 @@ class ExplainSpec extends SparkSpec {
     val df = VendasMart.eventsPivot(spark, sf)
     assert(df.columns.toSeq == "user_id" +: VendasMart.EventTypes)
   }
+
+  test("salted aggregation plans two aggregate stages (skew defense shape)") {
+    val plan = planOf(graft.operators.Analytics.saltedAgg(spark, sf))
+    // Two logical aggregations -> four HashAggregate operators
+    // (partial+final per stage).
+    val aggs = "HashAggregate".r.findAllIn(plan).length
+    assert(aggs >= 4, s"expected 2-stage aggregation, got $aggs HashAggregates")
+  }
+
+  test("re-derived MinHash pair plans substitute the cached fragment") {
+    // Materialize the cache via the pairs query; any later derivation
+    // of the same logical subtree (what clustering/survivors/best-keep
+    // build internally) must scan the in-memory relation instead of
+    // recomputing the LSH join.
+    graft.operators.Dedup.minHashLsh(spark, sf).count()
+    val plan = graft.operators.Dedup.minHashLsh(spark, sf)
+      .select("a_id", "b_id")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("InMemoryTableScan") || plan.contains("InMemoryRelation"),
+      plan.take(1500))
+  }
 }
