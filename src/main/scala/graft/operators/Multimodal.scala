@@ -61,6 +61,33 @@ object Multimodal {
         lit("text/plain").as("mime"),
         col("n_chars").cast("long").as("n_chars"))
 
+  /** Production loader: media objects from a filesystem / object
+    * store via Spark's `binaryFile` source — schema `(path,
+    * modificationTime, length, content)`, with `pathGlobFilter` /
+    * recursive lookup available as reader options. Mapped into the
+    * same MediaItem frame the documents-derived fixture uses, so the
+    * decode pipeline is source-agnostic: id = 60-bit hash of the
+    * object path (deterministic, join-stable), mime sniffed from the
+    * extension. At 100 TB this scan parallelizes per object like any
+    * file source; `spark.sql.files.maxPartitionBytes` bounds task
+    * input as usual (large media files land one-per-task).
+    */
+  def mediaFrameFromBinaryFiles(spark: SparkSession, pathGlob: String): DataFrame = {
+    val ext = lower(element_at(split(col("path"), "\\."), -1))
+    val mime = when(ext === "png", "image/png")
+      .when(ext === "jpg" || ext === "jpeg", "image/jpeg")
+      .when(ext === "wav", "audio/wav")
+      .when(ext === "mp4", "video/mp4")
+      .when(ext === "txt", "text/plain")
+      .otherwise("application/octet-stream")
+    spark.read.format("binaryFile").load(pathGlob)
+      .select(
+        graft.functions.TextFns.hash60(col("path")).as("id"),
+        col("content").as("payload"),
+        mime.as("mime"),
+        col("length").as("n_chars"))
+  }
+
   /** Per-partition batched decode: one `FakeDecoder` per partition,
     * streamed iterator (no materialization of the whole partition).
     */

@@ -70,6 +70,25 @@ object Similarity {
       .map(i => when(dot(element_at(planesLit, i + 1), v) > 0, lit(1L << i)).otherwise(0L))
       .reduce(_ + _)
 
+  /** Banded hyperplane buckets: `nBands` independent sign-buckets of
+    * `planesPerBand` planes each (global plane index `band *
+    * planesPerBand + p`, same md5-derived matrix as [[bucketCol]] —
+    * band 0 with 8 planes IS `bucketCol`). Two vectors are LSH
+    * candidates iff they collide in ≥ 1 band; with r planes per band
+    * and b bands the collision probability is 1-(1-(1-θ/π)^r)^b — the
+    * near-dup amplification MinHash bands give Jaccard, applied to
+    * cosine. Used by [[graft.operators.Dedup.embeddingPairs]] to turn
+    * the all-pairs cosine join into a bucket equi-join.
+    */
+  def bandedBuckets(v: Column, nBands: Int, planesPerBand: Int): Column =
+    array((0 until nBands).map { b =>
+      (0 until planesPerBand).map { p =>
+        val plane = array((0 until Dim).map(j =>
+          lit(planeValue(b * planesPerBand + p, j))): _*)
+        when(dot(plane, v) > 0, lit(1L << p)).otherwise(0L)
+      }.reduce(_ + _)
+    }: _*)
+
   private def vectors(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))

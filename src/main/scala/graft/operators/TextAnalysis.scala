@@ -180,25 +180,38 @@ object TextAnalysis {
       .orderBy("split", "lang")
   }
 
+  /** Number of independent packing shards. At test scale 8 keeps packs
+    * non-trivial; at 100 TB this becomes O(cluster cores) — the shard
+    * count only changes pack boundaries, never correctness.
+    */
+  val PackShards = 8
+
   /** Sequence packing: assign documents to fixed-token-budget packs
-    * (the pretraining batch-assembly step). Standard streaming
-    * packing — docs in deterministic order, pack id = floor(running
-    * token total / budget); emits per-pack fill statistics. The
-    * running sum is one window over the global order: at 100 TB the
-    * order key becomes (shard, doc) so each shard packs
-    * independently — same expression, partitioned window.
+    * (the pretraining batch-assembly step). Docs are sharded by
+    * `doc_id % PackShards` and each shard packs independently in
+    * doc_id order — pack id = (shard, floor(running token total /
+    * budget)); emits per-pack fill statistics.
+    *
+    * The running sum is a window PARTITIONED by shard: the plan
+    * hash-partitions on `shard` and every shard packs in parallel. A
+    * global `Window.orderBy` would plan an `Exchange SinglePartition`
+    * — the whole corpus through one task — which is why packing at
+    * scale is always per-shard (ExplainSpec pins the no-single-
+    * partition shape).
     */
   def sequencePack(spark: SparkSession, sfDir: String, budget: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .select(col("doc_id"), (col("doc_id") % PackShards).as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
       .withColumn("before", coalesce(sum("n_tok").over(w), lit(0L)))
       .withColumn("pack_id", (col("before") / budget).cast("long"))
-      .groupBy("pack_id")
+      .groupBy("shard", "pack_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("pack_tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-      .orderBy("pack_id")
+      .orderBy("shard", "pack_id")
   }
 
   /** Language-mix sampling: cap each language at a quota, keeping the
@@ -269,20 +282,23 @@ object TextAnalysis {
         |  FROM documents)
         |SELECT split, lang, count(*) AS n_docs
         |FROM s GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    // NB: DuckDB widens sum(BIGINT) and `//` to HUGEINT — every such
+    // column is CAST back to BIGINT so the driver's type-sensitive
+    // hash compare sees the same schema Spark writes.
     "q_corpus_pack" ->
-      """WITH t AS (
-        |  SELECT doc_id,
+      s"""WITH t AS (
+        |  SELECT doc_id, doc_id % $PackShards AS shard,
         |         CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS n_tok
         |  FROM documents),
         |r AS (
-        |  SELECT doc_id, n_tok,
-        |         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |  SELECT doc_id, shard, n_tok,
+        |         coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
         |  FROM t)
-        |SELECT before // 2048 AS pack_id,
-        |       count(*) AS n_docs, sum(n_tok) AS pack_tokens,
+        |SELECT shard, CAST(before // 2048 AS BIGINT) AS pack_id,
+        |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_corpus_mix" ->
       """WITH r AS (
         |  SELECT lang, n_chars,

@@ -34,15 +34,18 @@ import org.apache.spark.sql.types.TimestampType
 final class IngestJob(spec: TableSpec) {
 
   /** Multi-file CSV extract with permissive by-name alignment to the
-    * declared schema. `inferSchema` mirrors pandas' per-cell type
-    * inference; alignment then casts to the declared types, so the
-    * silver schema is stable regardless of per-file drift.
+    * declared schema. Columns are read as strings in ONE pass (no
+    * `inferSchema`, which would force a second full scan of the bronze
+    * prefix just to guess types the declared schema already states);
+    * [[align]]'s `try_cast` then applies the declared types, which is
+    * also where pandas-style per-cell leniency lives. Header names
+    * still drive the by-name alignment, so reordered/extra/missing
+    * columns behave identically to the inferring variant.
     */
   def extract(spark: SparkSession, bronzeRoot: String): DataFrame = {
     val raw = spark.read
       .option("header", true)
       .option("sep", ",")
-      .option("inferSchema", true)
       .option("mode", "PERMISSIVE")
       .csv(s"$bronzeRoot/${spec.prefix}")
     align(raw)

@@ -114,8 +114,19 @@ object Streaming {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
+                // A late event (within watermark) older than the open
+                // session by more than the gap is its own earlier
+                // session in event-time order — emit it closed instead
+                // of corrupting the open session's span.
+                case Some(s) if t < s.start - SessionGapMs =>
+                  closed += Session(
+                    userId, new Timestamp(t), new Timestamp(t), 1, e.value)
+                // Merging a late event can extend the session BACKWARD
+                // (t < start) as well as forward — keep start = min so
+                // session_start stays correct under reordering.
                 case Some(s) if t - s.last <= SessionGapMs =>
-                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1,
                     total = s.total + e.value))
                 case Some(s) =>
                   closed += Session(

@@ -50,6 +50,19 @@ class ExplainSpec extends SparkSpec {
     assert(aggs >= 4, s"expected 2-stage aggregation, got $aggs HashAggregates")
   }
 
+  test("sequence packer plans per-shard windows, never a single-partition exchange") {
+    val plan = planOf(graft.operators.TextAnalysis.sequencePack(spark, sf))
+    assert(!plan.contains("Exchange SinglePartition"),
+      "global-window packing funnels the corpus through one task:\n" + plan.take(2000))
+  }
+
+  test("embedding near-dup pairs come from a bucket equi-join, not a nested loop") {
+    val plan = planOf(graft.operators.Dedup.embeddingPairs(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "banded-LSH candidates must equi-join on (band, bucket):\n" + plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("re-derived MinHash pair plans substitute the cached fragment") {
     // Materialize the cache via the pairs query; any later derivation
     // of the same logical subtree (what clustering/survivors/best-keep

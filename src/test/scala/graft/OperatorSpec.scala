@@ -101,6 +101,34 @@ class OperatorSpec extends SparkSpec {
     assert(truth.subsetOf(lsh), s"missed: ${truth.diff(lsh)}")
   }
 
+  test("banded embedding pairs: contained in exact ground truth; true near-dups found") {
+    // Synthetic frame with a REAL near-dup (cosine ≈ 0.99995): the
+    // banded path must find it, and everything it finds must appear in
+    // the all-pairs ground truth with the identical cosine. Vector 3
+    // is anti-parallel (cosine ≈ -1) — never a pair.
+    val base = (0 until 64).map(j => math.sin(j + 1.0).toFloat)
+    val nearDup = base.updated(0, base(0) + 0.01f)
+    val anti = base.map(x => -x)
+    val embs = Seq((1L, base), (2L, nearDup), (3L, anti))
+      .toDF("vec_id", "embedding")
+    val banded = Dedup.embeddingPairsOf(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cosine")).toMap
+    val exact = Dedup.embeddingPairsExactOf(embs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cosine")).toMap
+    assert(banded.contains((1L, 2L)), s"banded LSH missed the near-dup: $banded")
+    assert(banded((1L, 2L)) > 0.99)
+    banded.foreach { case (k, c) =>
+      assert(exact.get(k).contains(c), s"banded pair $k not in exact ground truth")
+    }
+    // And on the harness table: containment (recall there is low by
+    // design — sf pairs sit at the 0.45 cosine floor, see scaladoc).
+    val sfBanded = Dedup.embeddingPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cosine")).toMap
+    val sfExact = Dedup.embeddingPairsExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cosine")).toMap
+    sfBanded.foreach { case (k, c) => assert(sfExact.get(k).contains(c)) }
+  }
+
   // --- similarity invariants -------------------------------------------
 
   test("brute-force top-k: k rows per query, ranks contiguous, scores non-increasing") {
@@ -147,6 +175,47 @@ class OperatorSpec extends SparkSpec {
     val f = Multimodal.features(spark, sf)
     assert(f.count() > 0)
     assert(f.filter(x => x.width < 64 || x.width >= 128).count() == 0)
+  }
+
+  test("binaryFile source: real bytes-on-disk load with decode parity") {
+    import graft.operators.Multimodal._
+    // Fixtures: three real files on disk, mixed extensions.
+    val dir = tmpDir("media_fixtures")
+    val payloads = Map(
+      "a.png" -> Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 1, 2, 3),
+      "b.txt" -> "hello media world".getBytes("UTF-8"),
+      "c.bin" -> Array.tabulate(300)(i => (i % 251).toByte))
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name), bytes)
+    }
+    // The documented production path: binaryFile schema is
+    // (path, modificationTime, length, content).
+    val raw = spark.read.format("binaryFile").load(dir)
+    assert(raw.columns.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    assert(raw.count() == 3)
+
+    val frame = mediaFrameFromBinaryFiles(spark, dir)
+    val byMime = frame.collect().map(r =>
+      r.getAs[String]("mime") -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(byMime.keySet ==
+      Set("image/png", "text/plain", "application/octet-stream"))
+    assert(byMime("text/plain").toSeq == payloads("b.txt").toSeq)
+
+    // Decode parity: features over the binaryFile frame equal features
+    // over directly-constructed MediaItems with the same bytes — the
+    // pipeline is source-agnostic.
+    val viaFiles = decodeFeatures(frame.as[MediaItem]).collect()
+      .map(f => f.checksum -> f).toMap
+    val direct = decodeFeatures(payloads.values.zipWithIndex.map { case (b, i) =>
+      MediaItem(i.toLong, b, "x", b.length.toLong) }.toSeq.toDS()).collect()
+      .map(f => f.checksum -> f).toMap
+    assert(viaFiles.keySet == direct.keySet)
+    viaFiles.foreach { case (k, f) =>
+      val d = direct(k)
+      assert((f.n_bytes, f.width, f.height, f.n_frames) ==
+        (d.n_bytes, d.width, d.height, d.n_frames))
+    }
   }
 
   // --- as-of join ------------------------------------------------------

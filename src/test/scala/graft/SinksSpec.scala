@@ -31,6 +31,30 @@ class SinksSpec extends SparkSpec {
     assert(back.filter($"d" === "2024-05-02" && $"v" === 99.0).count() == 1)
   }
 
+  test("jdbcReplace round-trips through embedded Derby, replace drops old rows") {
+    // Derby ships in /opt/spark/jars (Spark's Hive-metastore
+    // dependency), so the reference's MySQL full-replace sink
+    // (`s2g/vendas.py:173-180`, to_sql if_exists='replace') is
+    // exercisable end-to-end without network: same DataSource JDBC
+    // code path, different driver URL.
+    val dbPath = tmpDir("derby_db") + "/graftdb"
+    val t = Sinks.JdbcTarget(s"jdbc:derby:$dbPath;create=true", "TB_VENDAS", "", "")
+    Sinks.jdbcReplace(
+      Seq((1L, "ana", 10.5), (2L, "bia", 20.0)).toDF("id", "nome", "total"), t,
+      numPartitions = 2)
+    val back1 = spark.read.format("jdbc")
+      .option("url", t.url).option("dbtable", t.table).load()
+    assert(back1.count() == 2)
+    assert(back1.columns.toSet == Set("id", "nome", "total"))
+
+    // Full replace: the second write must drop the first load's rows,
+    // exactly like pandas to_sql(if_exists='replace').
+    Sinks.jdbcReplace(Seq((9L, "carla", 1.0)).toDF("id", "nome", "total"), t)
+    val back2 = spark.read.format("jdbc")
+      .option("url", t.url).option("dbtable", t.table).load()
+    assert(back2.collect().map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
   test("partition-key predicates prune at the scan (PartitionFilters)") {
     val path = tmpDir("gold_part2") + "/mart"
     Sinks.partitionedParquet(
