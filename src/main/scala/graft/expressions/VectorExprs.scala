@@ -1,9 +1,9 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StructField, StructType}
 
 /** Native codegen'd dot product over two `array<double>` columns.
   *
@@ -54,4 +54,74 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** Symmetric int8 quantization statistics in ONE pass over the vector:
+  * struct(scale, q_sum, q_min, q_max, mse).
+  *
+  * The HOF formulation (`transform` for |v|, `array_max`, a second
+  * `transform` for q, `aggregate` for the sum, `array_min`/`array_max`
+  * for the range, `zip_with`+`aggregate` for the MSE) re-evaluates the
+  * interpreted quantize lambda chain once per OUTPUT COLUMN — five
+  * recomputes per row, ~9 s at sf0.1. This kernel computes all five
+  * stats in two tight loops per row.
+  *
+  * Bit-exactness contract (pinned by GraftExpressionsSpec equivalence
+  * and the q_sim_quantize oracle):
+  *   scale = max(max_i |v_i|, 1e-12) / 127.0
+  *   q_i   = floor(v_i / scale + 0.5).toLong
+  *   mse   = Σ_i (v_i - q_i·scale)² / dim, summed left-to-right
+  * Accepts `array<float>` (widened per element, exactly like
+  * `transform(v, _.cast(double))`) or `array<double>`. Empty/null
+  * arrays yield null, matching `array_max(empty) = null` upstream.
+  */
+case class QuantizeStats(child: Expression, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q_sum", LongType, nullable = false),
+    StructField("q_min", LongType, nullable = false),
+    StructField("q_max", LongType, nullable = false),
+    StructField("mse", DoubleType, nullable = false)))
+
+  override def prettyName: String = "graft_quantize_stats"
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (n == 0) return null
+    @inline def at(i: Int): Double =
+      if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+    var maxabs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(at(i))
+      if (a > maxabs) maxabs = a
+      i += 1
+    }
+    val scale = math.max(maxabs, 1e-12) / 127.0
+    var qSum = 0L
+    var qMin = Long.MaxValue
+    var qMax = Long.MinValue
+    var sq = 0.0
+    i = 0
+    while (i < n) {
+      val x = at(i)
+      val q = math.floor(x / scale + 0.5).toLong
+      qSum += q
+      if (q < qMin) qMin = q
+      if (q > qMax) qMax = q
+      val e = x - q * scale
+      sq += e * e
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](scale, qSum, qMin, qMax, sq / dim.toDouble))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeStats =
+    copy(child = newChild)
 }

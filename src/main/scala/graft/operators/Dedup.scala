@@ -361,7 +361,10 @@ object Dedup {
     // labels would under-merge clusters.
     val MaxIters = 50
     while (changed > 0 && iter < MaxIters) {
-      // Each doc adopts min(own label, neighbors' labels).
+      // Each doc adopts min(own label, neighbors' labels). The old
+      // label rides along into the checkpoint so the convergence check
+      // is a filter-count over the materialized frame — one job per
+      // iteration instead of a second join job.
       val next = edges
         .join(labels.withColumnRenamed("doc_id", "src")
           .withColumnRenamed("label", "src_label"), Seq("src"))
@@ -369,11 +372,11 @@ object Dedup {
         .agg(min("src_label").as("nbr_label"))
         .join(labels, Seq("doc_id"), "right")
         .select(col("doc_id"),
-          least(coalesce(col("nbr_label"), col("label")), col("label")).as("label"))
+          least(coalesce(col("nbr_label"), col("label")), col("label")).as("label"),
+          col("label").as("old"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select("doc_id", "label")
       iter += 1
     }
     if (changed > 0) throw new IllegalStateException(

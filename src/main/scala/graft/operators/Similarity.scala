@@ -219,21 +219,23 @@ object Similarity {
     * array itself so the oracle compare stays scalar.
     */
   def quantize(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = toDoubleArray(col("embedding"))
-    val maxabs = greatest(array_max(transform(v, x => abs(x))), lit(1e-12))
-    val scale = maxabs / lit(127.0)
-    val q = transform(v, x => floor(x / scale + lit(0.5)).cast("long"))
-    val mse = aggregate(
-      zip_with(v, q, (x, qq) => (x - qq.cast("double") * scale) * (x - qq.cast("double") * scale)),
-      lit(0.0), (acc, e) => acc + e) / lit(Dim.toDouble)
+    // One-pass native kernel: the HOF formulation re-evaluated the
+    // interpreted quantize chain once per output column (5× per row);
+    // QuantizeStats computes all five stats in a single pass directly
+    // over the float array (see its scaladoc for the exactness
+    // contract).
+    import org.apache.spark.sql.graft.ColumnShim
+    val stats = ColumnShim.column(graft.expressions.QuantizeStats(
+      ColumnShim.expression(col("embedding")), Dim))
     Tables.embeddings(spark, sfDir)
+      .withColumn("s", stats)
       .select(
         col("vec_id"),
-        round(scale, 8).as("scale"),
-        aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
-        array_min(q).cast("int").as("q_min"),
-        array_max(q).cast("int").as("q_max"),
-        round(mse, 6).as("mse"))
+        round(col("s.scale"), 8).as("scale"),
+        col("s.q_sum").as("q_sum"),
+        col("s.q_min").cast("int").as("q_min"),
+        col("s.q_max").cast("int").as("q_max"),
+        round(col("s.mse"), 6).as("mse"))
       .orderBy("vec_id")
   }
 

@@ -111,13 +111,20 @@ object TextAnalysis {
     * family). Each doc collapses to one int64; duplicate detection
     * then groups on 8 bytes instead of full text.
     */
-  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    // One-pass native kernel (CharNgramFingerprint): the HOF pair
+    // (array_min∘transform∘charShingles + size∘array_distinct∘
+    // charShingles) built the gram array twice and md5'd every gram
+    // position interpreted — ~9 s at sf0.1 for the same answer.
+    import org.apache.spark.sql.graft.ColumnShim
+    val fp = ColumnShim.column(graft.expressions.CharNgramFingerprint(
+      ColumnShim.expression(col("text")), 8))
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        array_min(transform(charShingles(col("text"), 8), g => hash60(g)))
-          .as("fp60"),
-        size(array_distinct(charShingles(col("text"), 8))).as("n_distinct_8grams"))
+      .withColumn("f", fp)
+      .select(col("doc_id"), col("f.fp60").as("fp60"),
+        col("f.n_distinct").as("n_distinct_8grams"))
       .orderBy("doc_id")
+  }
 
   /** Corpus term statistics: term frequency + document frequency +
     * idf. One explode, one shuffle on the term; map-side combine

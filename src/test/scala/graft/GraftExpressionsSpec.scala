@@ -134,6 +134,56 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(newSh == oldSh)
   }
 
+  test("QuantizeStats matches the HOF quantize chain bit-for-bit") {
+    import org.apache.spark.sql.graft.ColumnShim
+    val rnd = new scala.util.Random(23)
+    val vecs = (0 until 40).map(_ => Array.fill(64)(rnd.nextFloat() * 2f - 1f)) ++
+      Seq(Array.fill(64)(0f)) // all-zero vector exercises the 1e-12 floor
+    val df = vecs.toDF("embedding")
+    // Original HOF formulation, kept as the test oracle.
+    val v = transform($"embedding", _.cast("double"))
+    val scale = greatest(array_max(transform(v, x => abs(x))), lit(1e-12)) / lit(127.0)
+    val q = transform(v, x => floor(x / scale + lit(0.5)).cast("long"))
+    val mse = aggregate(
+      zip_with(v, q, (x, qq) => (x - qq.cast("double") * scale) * (x - qq.cast("double") * scale)),
+      lit(0.0), (acc, e) => acc + e) / lit(64.0)
+    val stats = ColumnShim.column(graft.expressions.QuantizeStats(
+      ColumnShim.expression($"embedding"), 64))
+    df.select(
+      stats.getField("scale"), scale,
+      stats.getField("q_sum"), aggregate(q, lit(0L), (acc, x) => acc + x),
+      stats.getField("q_min"), array_min(q),
+      stats.getField("q_max"), array_max(q),
+      stats.getField("mse"), mse).collect().foreach { r =>
+      def bits(i: Int) = java.lang.Double.doubleToLongBits(r.getDouble(i))
+      assert(bits(0) == bits(1), "scale")
+      assert(r.getLong(2) == r.getLong(3), "q_sum")
+      assert(r.getLong(4) == r.getLong(5), "q_min")
+      assert(r.getLong(6) == r.getLong(7), "q_max")
+      assert(bits(8) == bits(9), "mse")
+    }
+  }
+
+  test("CharNgramFingerprint matches the charShingles HOF pair, incl. short texts") {
+    import org.apache.spark.sql.graft.ColumnShim
+    val rnd = new scala.util.Random(31)
+    val alphabet = "abcdefg hij"
+    val texts = (0 until 40).map { _ =>
+      (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    } ++ Seq("", "short", "exactly8", "aaaaaaaaaaaa")
+    val df = texts.toDF("text")
+    val fp = ColumnShim.column(graft.expressions.CharNgramFingerprint(
+      ColumnShim.expression($"text"), 8))
+    df.select($"text",
+      fp.getField("fp60"),
+      array_min(transform(TextFns.charShingles($"text", 8), g => TextFns.hash60(g))),
+      fp.getField("n_distinct"),
+      size(array_distinct(TextFns.charShingles($"text", 8)))).collect().foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"fp60 for '${r.getString(0)}'")
+      assert(r.getInt(3) == r.getInt(4), s"n_distinct for '${r.getString(0)}'")
+    }
+  }
+
   test("GraftExtensions registers its functions through the extensions hook") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(ext) // must not throw
