@@ -238,7 +238,89 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Redaction denylist + patterns — the PII/content-scrub pass every
+    * training corpus gets before release. Email pattern included for
+    * the real-world shape (zero hits on the synthetic corpus — the
+    * count column proves it ran); digit runs and denylisted terms do
+    * hit. Replacement ORDER is part of the semantics (email → term →
+    * digits) and mirrored exactly in the oracle.
+    */
+  val RedactTerms: Seq[String] = Seq("customer", "vector")
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val DigitPattern = "[0-9]+"
+  private val termPattern = s"\\b(${RedactTerms.mkString("|")})\\b"
+
+  /** PII / denylist redaction: count and replace emails, denylisted
+    * terms, and digit runs. Pure per-row regex map work (codegen'd
+    * `regexp_replace`/`regexp_extract_all`) — fuses into the ingest
+    * scan at 100 TB; emits the redacted-text md5 so the oracle checks
+    * the actual rewritten bytes, not just the counts.
+    */
+  def redact(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0 = col("text")
+    val t1 = regexp_replace(t0, EmailPattern, "<email>")
+    val t2 = regexp_replace(t1, termPattern, "<redacted>")
+    val t3 = regexp_replace(t2, DigitPattern, "<num>")
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(t0, lit(EmailPattern), lit(0))).as("n_emails"),
+        size(regexp_extract_all(t0, lit(termPattern), lit(0))).as("n_terms"),
+        size(regexp_extract_all(t0, lit(DigitPattern), lit(0))).as("n_digit_runs"),
+        md5(t3).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Duplicated-n-gram (boilerplate) coverage — the Gopher-family
+    * "fraction of the document covered by corpus-repeated n-grams"
+    * filter signal: per doc, the share of its distinct 3-gram shingles
+    * whose corpus document frequency ≥ `minDf`. Shape: one explode,
+    * one df aggregate (map-side combine), one gram-keyed join back —
+    * the same inverted-index pattern as Jaccard, but aggregated per
+    * doc instead of per pair, so it stays O(grams), never O(docs²).
+    */
+  def boilerplate(spark: SparkSession, sfDir: String, minDf: Int = 3): DataFrame = {
+    val ex = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(shingleSet(col("text"), 3)).as("g"))
+    val df = ex.groupBy("g").agg(countDistinct("doc_id").as("df"))
+    ex.join(df, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler").cast("double") / col("n_grams"), 4))
+      .orderBy("doc_id")
+  }
+
+  /** Train/test decontamination check — the eval-integrity step every
+    * LLM data pipeline runs: for each test-split document (the
+    * [[corpusSplit]] hash buckets), how many train-split documents
+    * share a 5-gram with it, and how many of its distinct 5-grams are
+    * contaminated. Shape: gram-keyed equi-join of the test inverted
+    * index (5% of the corpus) against the train index — bounded by
+    * gram-bucket occupancy exactly like the dedup joins; at 100 TB the
+    * train side is the persisted shingle index, only the (small) eval
+    * side is hashed fresh.
+    */
+  def contamination(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame = {
+    val bucket = hash60(col("text")) % 100
+    val split = when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    val ex = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split.as("split"), explode(shingleSet(col("text"), n)).as("g"))
+    val test = ex.filter(col("split") === "test").select(col("doc_id"), col("g"))
+    val train = ex.filter(col("split") === "train")
+      .select(col("doc_id").as("train_id"), col("g"))
+    test.join(train, Seq("g"))
+      .groupBy("doc_id")
+      .agg(countDistinct("train_id").as("n_train_docs"),
+        countDistinct("g").as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_redact" -> (redact _),
+    "q_text_boilerplate" -> ((s: SparkSession, d: String) => boilerplate(s, d)),
+    "q_corpus_contam" -> ((s: SparkSession, d: String) => contamination(s, d)),
     "q_corpus_split" -> (corpusSplit _),
     "q_corpus_pack" -> ((s: SparkSession, d: String) => sequencePack(s, d)),
     "q_corpus_mix" -> ((s: SparkSession, d: String) => langMix(s, d)),
@@ -280,6 +362,54 @@ object TextAnalysis {
        |FROM m""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_redact" ->
+      s"""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '$EmailPattern')) AS INT) AS n_emails,
+         |       CAST(len(regexp_extract_all(text, '$termPattern')) AS INT) AS n_terms,
+         |       CAST(len(regexp_extract_all(text, '$DigitPattern')) AS INT) AS n_digit_runs,
+         |       md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |           '$EmailPattern', '<email>', 'g'),
+         |           '$termPattern', '<redacted>', 'g'),
+         |           '$DigitPattern', '<num>', 'g')) AS redacted_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS tk
+        |  FROM documents),
+        |ex AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(CASE WHEN len(tk) >= 3
+        |                THEN list_transform(range(1, len(tk) - 1),
+        |                     i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+        |                ELSE [] END) AS g
+        |  FROM toks),
+        |d AS (SELECT g, count(DISTINCT doc_id) AS df FROM ex GROUP BY g)
+        |SELECT ex.doc_id, count(*) AS n_grams,
+        |       CAST(sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |       round(CAST(sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 4) AS boiler_ratio
+        |FROM ex JOIN d USING (g)
+        |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin,
+    "q_corpus_contam" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 < 90 THEN 'train'
+        |              WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 < 95 THEN 'val'
+        |              ELSE 'test' END AS split,
+        |         list_filter(string_split(text, ' '), x -> x != '') AS tk
+        |  FROM documents),
+        |ex AS (
+        |  SELECT DISTINCT doc_id, split,
+        |         unnest(CASE WHEN len(tk) >= 5
+        |                THEN list_transform(range(1, len(tk) - 3),
+        |                     i -> array_to_string(list_slice(tk, i, i + 4), ' '))
+        |                ELSE [] END) AS g
+        |  FROM t)
+        |SELECT te.doc_id,
+        |       count(DISTINCT tr.doc_id) AS n_train_docs,
+        |       count(DISTINCT te.g) AS n_shared_grams
+        |FROM ex te JOIN ex tr ON te.g = tr.g AND te.split = 'test' AND tr.split = 'train'
+        |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin,
     "q_corpus_split" ->
       """WITH s AS (
         |  SELECT doc_id, lang,
