@@ -210,6 +210,47 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** nprobe for the multi-probe IVF variant. */
+  val NProbe = 2
+
+  /** IVF top-k with nprobe=2 — the recall/cost knob every IVF index
+    * exposes: the corpus assignment is unchanged (rn=1 cell per
+    * vector), but each query probes its TWO closest cells, doubling
+    * the candidate set (expected 2·|C|/nlist) and recovering
+    * neighbors that fell just across a cell boundary. Same plan shape
+    * as nprobe=1 — the probe table is still broadcast, the corpus
+    * still equi-joins on `cell` — so the knob changes candidate
+    * volume, never the join strategy.
+    */
+  def ivfProbeTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = vectors(spark, sfDir)
+    val cent = v.filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + NList)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("c_cos").desc, col("cent_id"))
+    val scoredCells = v.crossJoin(broadcast(cent))
+      .withColumn("c_cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("rn", row_number().over(wAssign))
+    val assigned = scoredCells.filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cent_id").as("cell"))
+    val probes = scoredCells.filter(col("vec_id") < NumQueries && col("rn") <= NProbe)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cent_id").as("cell"))
+    val wTop = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("n_id"))
+    assigned
+      .select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("nrm").as("nn"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cosine", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= IvfTopK)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cosine"), 4).as("cosine"), col("cell"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Symmetric int8 quantization of the embedding column — the ANN
     * index memory-reduction step (4× smaller than float32, 8× smaller
     * than the double working type; at 100 TB of vectors the index
@@ -254,6 +295,7 @@ object Similarity {
     "q_sim_topk_agg" -> (topKAgg _),
     "q_sim_lsh_topk" -> (lshTopK _),
     "q_sim_ivf_topk" -> (ivfTopK _),
+    "q_sim_ivf_probe2" -> (ivfProbeTopK _),
     "q_sim_quantize" -> (quantize _),
     "q_sim_buckets" -> (bucketStats _))
 
@@ -343,6 +385,37 @@ object Similarity {
          |         $dotAB / (q.nrm * n.nrm) AS cosine
          |  FROM assigned q JOIN assigned n
          |    ON q.vec_id < $NumQueries AND n.cell = q.cell AND n.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, cell, cosine,
+         |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, n_id, round(cosine, 4) AS cosine, cell
+         |FROM ranked WHERE rank <= $IvfTopK ORDER BY 1, 2""".stripMargin,
+    "q_sim_ivf_probe2" ->
+      s"""WITH vecs AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |         sqrt(list_reduce(list_transform(range(1, ${Dim + 1}), k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE),
+         |              (x, y) -> x + y)) AS nrm
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM vecs
+         |  WHERE vec_id >= $NumQueries AND vec_id < ${NumQueries + NList}),
+         |cells AS (
+         |  SELECT vecs.vec_id, vecs.v, vecs.nrm, cent.cent_id,
+         |         row_number() OVER (PARTITION BY vecs.vec_id ORDER BY
+         |           list_reduce(list_transform(range(1, ${Dim + 1}), k -> vecs.v[k] * cent.cv[k]),
+         |                       (x, y) -> x + y) / (vecs.nrm * cent.cn) DESC, cent.cent_id) AS rn
+         |  FROM vecs CROSS JOIN cent),
+         |assigned AS (
+         |  SELECT vec_id, v, nrm, cent_id AS cell FROM cells WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id, v, nrm, cent_id AS cell FROM cells
+         |  WHERE rn <= $NProbe AND vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id, n.cell AS cell,
+         |         $dotAB / (q.nrm * n.nrm) AS cosine
+         |  FROM probes q JOIN assigned n
+         |    ON n.cell = q.cell AND n.vec_id <> q.vec_id),
          |ranked AS (
          |  SELECT q_id, n_id, cell, cosine,
          |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank

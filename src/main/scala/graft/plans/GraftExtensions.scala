@@ -5,7 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{DotProduct, TextShingles}
+import graft.expressions.{CharNgramFingerprint, DotProduct, MinHashSignature, QuantizeStats, SimHash60, TextShingles}
+import graft.functions.TextFns
+import graft.operators.Dedup
 
 /** SQL-surface registration for the native graft expressions, via the
   * standard `SparkSessionExtensions` hook:
@@ -47,6 +49,35 @@ object GraftExtensions {
         { args =>
           require(args.length == 2, "graft_shingles(text, n)")
           TextShingles(args(0), intLit(args(1), "shingle size n"))
+        }),
+      (FunctionIdentifier("graft_minhash"),
+        new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+        { args =>
+          require(args.length == 2, "graft_minhash(text, shingleN)")
+          // Library-default permutations — the same constants the Dedup
+          // pipeline uses, so SQL users land on the identical index.
+          MinHashSignature(args(0), intLit(args(1), "shingle size n"),
+            TextFns.MinHashPrime,
+            (0 until Dedup.NumHashes).map(Dedup.hashA),
+            (0 until Dedup.NumHashes).map(Dedup.hashB))
+        }),
+      (FunctionIdentifier("graft_simhash"),
+        new ExpressionInfo(classOf[SimHash60].getName, "graft_simhash"),
+        { args =>
+          require(args.length == 1, "graft_simhash(text)")
+          SimHash60(args(0), Dedup.SimHashBits)
+        }),
+      (FunctionIdentifier("graft_char_fingerprint"),
+        new ExpressionInfo(classOf[CharNgramFingerprint].getName, "graft_char_fingerprint"),
+        { args =>
+          require(args.length == 2, "graft_char_fingerprint(text, n)")
+          CharNgramFingerprint(args(0), intLit(args(1), "gram size n"))
+        }),
+      (FunctionIdentifier("graft_quantize_stats"),
+        new ExpressionInfo(classOf[QuantizeStats].getName, "graft_quantize_stats"),
+        { args =>
+          require(args.length == 2, "graft_quantize_stats(vector, dim)")
+          QuantizeStats(args(0), intLit(args(1), "dim"))
         }))
 
   /** Imperative registration into a live session (the extensions hook

@@ -86,13 +86,24 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(hs(0) == java.lang.Long.parseLong("0cc175b9c0f1b6a", 16))
   }
 
-  test("SQL surface: graft_dot / graft_shingles registered via extensions") {
+  test("SQL surface: all native kernels registered via extensions") {
     graft.plans.GraftExtensions.register(spark)
     val r = spark.sql(
       "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
         "graft_shingles('a b c d', 3) AS s").head()
     assert(r.getDouble(0) == 11.0)
     assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
+    val r2 = spark.sql(
+      "SELECT graft_minhash('a b c d e', 3) AS mh, " +
+        "graft_simhash('a b a') AS sh, " +
+        "graft_char_fingerprint('abcdefghij', 8) AS fp, " +
+        "graft_quantize_stats(array(0.5D, -1.0D), 2) AS qs").head()
+    assert(r2.getSeq[Long](0).length == graft.operators.Dedup.NumHashes)
+    assert(r2.getLong(1) != 0L)
+    val fp = r2.getStruct(2)
+    assert(fp.getInt(1) == 3) // 'abcdefghij' has 3 distinct 8-grams
+    val qs = r2.getStruct(3)
+    assert(qs.getLong(2) == -127L) // q_min: the max-abs element quantizes to ±127
   }
 
   test("MinHashSignature / SimHash60 match the grouped DataFrame formulations") {
@@ -188,6 +199,7 @@ class GraftExpressionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(ext) // must not throw
     assert(graft.plans.GraftExtensions.functions.map(_._1.funcName).sorted ==
-      Seq("graft_dot", "graft_shingles"))
+      Seq("graft_char_fingerprint", "graft_dot", "graft_minhash",
+        "graft_quantize_stats", "graft_shingles", "graft_simhash"))
   }
 }
