@@ -214,6 +214,30 @@ object Dedup {
   def minHashLsh(spark: SparkSession, sfDir: String): DataFrame =
     minHashPairs(spark, sfDir).orderBy("a_id", "b_id")
 
+  /** The composed production near-dup pipeline: MinHash-LSH candidate
+    * generation VERIFIED by exact Jaccard — computed per candidate
+    * pair via `array_intersect` of the two shingle sets, NOT the
+    * corpus-wide inverted-index self-join. This is the verifier-on-
+    * LSH-survivors pattern at its real cost shape: exact similarity
+    * touches O(|candidates| × shingles/doc), never O(Σ df²). Emits
+    * both the banded estimate and the exact score with the
+    * confirmation verdict.
+    */
+  def lshVerified(spark: SparkSession, sfDir: String): DataFrame = {
+    val sets = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
+    val raw = minHashPairs(spark, sfDir)
+      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("jac", col("common").cast("double") /
+        (size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("common")))
+    raw.select(col("a_id"), col("b_id"), col("est_jaccard"),
+        round(col("jac"), 4).as("jaccard"),
+        (col("jac") >= JaccardThreshold).as("confirmed"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Frequency-weighted 60-bit SimHash per doc in ONE map-side pass —
     * the native [[graft.expressions.SimHash60]] kernel (local token
     * counts → one hash per distinct token → 60 signed sums → sign
@@ -502,6 +526,7 @@ object Dedup {
     "q_dedup_best_keep" -> (bestOfCluster _),
     "q_dedup_jaccard" -> (ngramJaccard _),
     "q_dedup_minhash" -> (minHashLsh _),
+    "q_dedup_verified" -> (lshVerified _),
     "q_dedup_simhash" -> (simHashPairs _),
     "q_dedup_embed" -> (embeddingPairs _),
     "q_dedup_cluster" -> (nearDupClusters _))
@@ -590,6 +615,26 @@ object Dedup {
     "q_dedup_minhash" ->
       s"""WITH $minhashPairCtes
          |SELECT a_id, b_id, est_jaccard FROM mh_pairs ORDER BY 1, 2""".stripMargin,
+    "q_dedup_verified" ->
+      s"""WITH $minhashPairCtes,
+         |sets AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(tk) >= 3
+         |              THEN list_distinct(list_transform(range(1, len(tk) - 1),
+         |                   i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+         |              ELSE [] END AS sh
+         |  FROM toks),
+         |j AS (
+         |  SELECT p.a_id, p.b_id, p.est_jaccard,
+         |         CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS common,
+         |         CAST(len(sa.sh) AS BIGINT) AS na, CAST(len(sb.sh) AS BIGINT) AS nb
+         |  FROM mh_pairs p
+         |  JOIN sets sa ON p.a_id = sa.doc_id
+         |  JOIN sets sb ON p.b_id = sb.doc_id)
+         |SELECT a_id, b_id, est_jaccard,
+         |       round(common * 1.0 / (na + nb - common), 4) AS jaccard,
+         |       (common * 1.0 / (na + nb - common) >= $JaccardThreshold) AS confirmed
+         |FROM j ORDER BY 1, 2""".stripMargin,
     "q_dedup_best_keep" ->
       s"""WITH RECURSIVE $minhashPairCtes,
          |bi AS (
