@@ -63,6 +63,14 @@ class ExplainSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("contamination, boilerplate, and verified-pairs plans stay equi-join only") {
+    for (q <- Seq("q_corpus_contam", "q_text_boilerplate", "q_dedup_verified")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("CartesianProduct"), s"$q:\n" + plan.take(1500))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q:\n" + plan.take(1500))
+    }
+  }
+
   test("re-derived MinHash pair plans substitute the cached fragment") {
     // Materialize the cache via the pairs query; any later derivation
     // of the same logical subtree (what clustering/survivors/best-keep
