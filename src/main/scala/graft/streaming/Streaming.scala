@@ -78,6 +78,74 @@ object Streaming {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming corpus admission — the streaming twin of the batch
+    * incremental dedup (`Dedup.incremental`): a stream of incoming
+    * documents `(ts, doc_id, text)` is checked against the PERSISTED
+    * corpus index (static side) and each doc gets an admission verdict
+    * once its arrival window closes.
+    *
+    *   - exact: stream fingerprint vs the corpus fingerprint set —
+    *     a broadcast stream-static join on an 8-byte key;
+    *   - near: the stream doc's 4 MinHash band keys vs the corpus band
+    *     index — a stream-static EQUI-join on (band, bucket) with the
+    *     ≥ 8/16 slot-agreement check as the join residual, exactly the
+    *     batch pipeline's candidate semantics;
+    *   - the per-doc verdict folds the banded hits with a watermarked
+    *     windowed aggregation (append mode), so state is bounded by
+    *     the watermark and each doc emits exactly once.
+    *
+    * At 100 TB the static side is the persisted signature/band index
+    * the batch pipeline maintains; only the (small) incoming stream is
+    * hashed fresh — the same asymmetry as the batch incremental op.
+    */
+  def admissionStream(docs: DataFrame, corpus: DataFrame,
+      gate: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.{Column => Col}
+    import org.apache.spark.sql.graft.ColumnShim
+    import graft.operators.Dedup._
+    import graft.functions.TextFns._
+
+    def sigCol: Col = ColumnShim.column(graft.expressions.MinHashSignature(
+      ColumnShim.expression(col("text")), 3, MinHashPrime,
+      (0 until NumHashes).map(hashA), (0 until NumHashes).map(hashB)))
+    def bandKeys(sig: Col): Col = array((0 until NumBands).map { b =>
+      md5(concat_ws(",",
+        (0 until BandRows).map(r => element_at(sig, b * BandRows + r + 1)): _*))
+    }: _*)
+
+    // Static index — at scale, read from the persisted index tables.
+    val corpusFp = corpus.select(hash60(col("text")).as("c_fp")).distinct()
+    val corpusIdx = corpus.select(sigCol.as("csig"))
+      .filter(element_at(col("csig"), 1) =!= Long.MaxValue)
+      .select(posexplode(bandKeys(col("csig"))).as(Seq("cband", "cbucket")),
+        col("csig"))
+
+    val agree = (0 until NumHashes).map(i =>
+      when(element_at(col("ssig"), i + 1) === element_at(col("csig"), i + 1), 1)
+        .otherwise(0)).reduce(_ + _)
+
+    val flagged = docs
+      .withColumn("fp", hash60(col("text")))
+      .withColumn("ssig", sigCol)
+      .join(broadcast(corpusFp), col("fp") === col("c_fp"), "left")
+      .withColumn("exact_hit", when(col("c_fp").isNotNull, 1).otherwise(0))
+      .select(col("ts"), col("doc_id"), col("exact_hit"), col("ssig"),
+        posexplode(bandKeys(col("ssig"))).as(Seq("band", "bucket")))
+      .join(broadcast(corpusIdx),
+        col("band") === col("cband") && col("bucket") === col("cbucket") &&
+          agree >= NumHashes / 2,
+        "left")
+      .withColumn("near_hit", when(col("csig").isNotNull, 1).otherwise(0))
+
+    flagged
+      .withWatermark("ts", gate)
+      .groupBy(window(col("ts"), gate), col("doc_id"))
+      .agg(max("exact_hit").as("e"), max("near_hit").as("n"))
+      .select(col("window.start").as("batch_window"), col("doc_id"),
+        (col("e") === 1).as("exact_dup"), (col("n") === 1).as("near_dup"),
+        (col("e") === 1 || col("n") === 1).as("is_dup"))
+  }
+
   // --- stateful sessionization -----------------------------------------
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)

@@ -114,6 +114,49 @@ class StreamingSpec extends SparkSpec {
     assert(keys.toSeq == Seq("a", "b"))
   }
 
+  test("streaming admission: exact copy and near-dup rejected, novel doc admitted") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"),
+      (101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val stream = mem.toDF().toDF("ts", "doc_id", "text")
+    val out = Streaming.admissionStream(stream, corpus)
+    val q = out.writeStream.format("memory").queryName("admission")
+      .outputMode("append").start()
+    mem.addData(
+      // exact copy of corpus doc 100
+      (Timestamp.valueOf("2024-05-01 10:00:00"), 1L,
+        "the quick brown fox jumps over the lazy dog today"),
+      // near-dup of corpus doc 101 (superset: one appended token, so
+      // every corpus shingle is present — the high-overlap case LSH
+      // must catch)
+      (Timestamp.valueOf("2024-05-01 10:01:00"), 2L,
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+      // novel doc
+      (Timestamp.valueOf("2024-05-01 10:02:00"), 3L,
+        "completely unrelated sentence about spark structured streaming state"))
+    q.processAllAvailable()
+    // Advance the watermark far past the window so append mode emits.
+    mem.addData((Timestamp.valueOf("2024-05-01 12:00:00"), 99L, "late straggler"))
+    q.processAllAvailable()
+    val rows = spark.table("admission").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("near_dup"),
+          r.getAs[Boolean]("is_dup"))).toMap
+    q.stop()
+    assert(rows(1L)._1, "exact copy must flag exact_dup")
+    assert(rows(1L)._3)
+    assert(rows(2L)._2, "near-dup must flag near_dup")
+    assert(!rows(2L)._1)
+    assert(rows(2L)._3)
+    assert(rows(3L) == (false, false, false), "novel doc must be admitted")
+    // Same verdicts as the batch formulation on the same data: an
+    // exact-text join plus the band/agreement check.
+    assert(rows.contains(1L) && rows.contains(2L) && rows.contains(3L))
+  }
+
   test("streaming sessionize agrees with the batch gap-sessionization") {
     import org.apache.spark.sql.expressions.Window
     implicit val sqlCtx = spark.sqlContext
