@@ -214,7 +214,10 @@ object TextAnalysis {
       .select(col("doc_id"), (col("doc_id") % PackShards).as("shard"),
         size(tokens(col("text"))).cast("long").as("n_tok"))
       .withColumn("before", coalesce(sum("n_tok").over(w), lit(0L)))
-      .withColumn("pack_id", (col("before") / budget).cast("long"))
+      // `div`, not `/`+cast: the float division round-trips through a
+      // double, which loses exactness past 2^53 — reachable for a
+      // per-shard running token sum at corpus scale.
+      .withColumn("pack_id", expr(s"before div $budget"))
       .groupBy("shard", "pack_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("pack_tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
