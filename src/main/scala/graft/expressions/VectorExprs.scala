@@ -87,6 +87,11 @@ case class QuantizeStats(child: Expression, dim: Int)
 
   override def prettyName: String = "graft_quantize_stats"
 
+  // Always nullable regardless of the child: an EMPTY array yields a
+  // null struct (mirroring array_max(empty) = null upstream), even
+  // when the array column itself is non-nullable.
+  override def nullable: Boolean = true
+
   @transient private lazy val isFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 

@@ -173,6 +173,11 @@ class GraftExpressionsSpec extends SparkSpec {
       assert(r.getLong(6) == r.getLong(7), "q_max")
       assert(bits(8) == bits(9), "mse")
     }
+    // Empty array -> null struct (array_max(empty) is null upstream).
+    val empty = Seq(Array.empty[Float]).toDF("embedding")
+      .select(ColumnShim.column(graft.expressions.QuantizeStats(
+        ColumnShim.expression($"embedding"), 64)))
+    assert(empty.head().isNullAt(0))
   }
 
   test("CharNgramFingerprint matches the charShingles HOF pair, incl. short texts") {
