@@ -98,8 +98,21 @@ object Dedup {
   def shingleIndexOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(shingleSet(col("text"), 3)).as("s"))
 
-  private def shingleIndex(spark: SparkSession, sfDir: String): DataFrame =
-    shingleIndexOf(Tables.documents(spark, sfDir))
+  private val shingleIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Memoized persisted (doc_id, 3-gram) inverted index — the shared
+    * substrate of the Jaccard ground truth and the boilerplate-
+    * coverage query. One persisted frame per (session, corpus), the
+    * same contract as [[pairCache]]: at cluster scale this IS the
+    * persisted inverted-index table the text-dedup family reads.
+    */
+  def shingleIndex(spark: SparkSession, sfDir: String): DataFrame =
+    shingleIndexCache.getOrElseUpdate((spark, sfDir), {
+      val ix = shingleIndexOf(Tables.documents(spark, sfDir))
+      ix.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      ix
+    })
 
   /** Exact n-gram Jaccard ≥ 0.6 pairs via inverted-index self-join.
     * The join key is the shingle, so a shingle occurring in f docs

@@ -283,8 +283,8 @@ object TextAnalysis {
     * doc instead of per pair, so it stays O(grams), never O(docs²).
     */
   def boilerplate(spark: SparkSession, sfDir: String, minDf: Int = 3): DataFrame = {
-    val ex = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(shingleSet(col("text"), 3)).as("g"))
+    val ex = Dedup.shingleIndex(spark, sfDir)
+      .select(col("doc_id"), col("s").as("g"))
     val df = ex.groupBy("g").agg(countDistinct("doc_id").as("df"))
     ex.join(df, Seq("g"))
       .groupBy("doc_id")

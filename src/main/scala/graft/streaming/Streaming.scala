@@ -185,7 +185,11 @@ object Streaming {
                 // A late event (within watermark) older than the open
                 // session by more than the gap is its own earlier
                 // session in event-time order — emit it closed instead
-                // of corrupting the open session's span.
+                // of corrupting the open session's span. (Two such
+                // stragglers arriving in DIFFERENT micro-batches each
+                // emit individually even if mutually within the gap —
+                // merging them would need an unbounded event buffer;
+                // pinned divergence from the batch twin.)
                 case Some(s) if t < s.start - SessionGapMs =>
                   closed += Session(
                     userId, new Timestamp(t), new Timestamp(t), 1, e.value)
