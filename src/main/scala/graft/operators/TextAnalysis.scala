@@ -320,7 +320,47 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-language epoch weights for mixture upsampling. Fractional
+    * parts are exact binary doubles (.0 / .5) so the hash-threshold
+    * comparison is bit-identical across engines.
+    */
+  val EpochWeights: Seq[(String, Double)] = Seq(
+    "de" -> 2.5, "en" -> 1.0, "es" -> 2.0, "fr" -> 3.0, "zh" -> 1.5)
+
+  /** Epoch-weighted corpus upsampling — the data-mixing repetition
+    * step: language `l` with weight `w` contributes `floor(w)` copies
+    * of every doc plus one extra copy for the deterministic
+    * `hash60(text) mod 1000 < frac(w)·1000` subset — exact expected
+    * epoch counts with zero RNG (reproducible across runs, engines,
+    * and cluster sizes). The replication is a per-row
+    * `explode(sequence(1, n_copies))` — map-side work, no shuffle
+    * until the audit aggregation; at 100 TB the exploded stream feeds
+    * the pack/shuffle stage directly and is never materialized.
+    */
+  def upsample(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = EpochWeights.foldRight(lit(1.0): Column) { case ((l, wt), acc) =>
+      when(col("lang") === l, lit(wt)).otherwise(acc)
+    }
+    val frac = w - floor(w)
+    val extra = when((hash60(col("text")) % 1000).cast("double") < frac * 1000, 1L)
+      .otherwise(0L)
+    val copies = floor(w).cast("long") + extra
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        copies.as("n_copies"))
+      .select(col("doc_id"), col("lang"), col("n_tok"),
+        explode(when(col("n_copies") >= 1, sequence(lit(1L), col("n_copies")))
+          .otherwise(array().cast("array<bigint>"))).as("epoch"))
+      .groupBy("lang")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_rows_postmix"),
+        sum("n_tok").as("n_tokens_postmix"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_upsample" -> (upsample _),
     "q_text_redact" -> (redact _),
     "q_text_boilerplate" -> ((s: SparkSession, d: String) => boilerplate(s, d)),
     "q_corpus_contam" -> ((s: SparkSession, d: String) => contamination(s, d)),
@@ -365,6 +405,27 @@ object TextAnalysis {
        |FROM m""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_corpus_upsample" -> {
+      val wCase = EpochWeights
+        .map { case (l, wt) => s"WHEN '$l' THEN $wt" }.mkString(" ")
+      s"""WITH w AS (
+         |  SELECT doc_id, lang,
+         |         CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS n_tok,
+         |         CASE lang $wCase ELSE 1.0 END AS wt,
+         |         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 1000 AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, n_tok,
+         |         CAST(floor(wt) AS BIGINT)
+         |           + (CASE WHEN h < (wt - floor(wt)) * 1000 THEN 1 ELSE 0 END) AS n_copies
+         |  FROM w),
+         |e AS (
+         |  SELECT doc_id, lang, n_tok, unnest(range(1, n_copies + 1)) AS epoch FROM c)
+         |SELECT lang, count(DISTINCT doc_id) AS n_docs,
+         |       count(*) AS n_rows_postmix,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens_postmix
+         |FROM e GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "q_text_redact" ->
       s"""SELECT doc_id,
          |       CAST(len(regexp_extract_all(text, '$EmailPattern')) AS INT) AS n_emails,
