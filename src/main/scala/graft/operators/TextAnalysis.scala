@@ -359,7 +359,66 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Chunking geometry: 64-token windows with 16-token overlap
+    * (stride 48) — the context-window preparation step.
+    */
+  val ChunkSize = 64
+  val ChunkOverlap = 16
+  val ChunkStride: Int = ChunkSize - ChunkOverlap
+
+  /** Document chunking audit: fixed-size token windows with overlap.
+    * `n_chunks = 1 + ceil((n_tok - size) / stride)` for docs longer
+    * than one window; the final chunk carries the remainder. Pure
+    * per-row integer arithmetic (the actual chunk explode at
+    * production scale is `explode(sequence(0, n_chunks-1))` feeding
+    * the tokenizer — same shape as [[upsample]]'s repetition).
+    */
+  def chunk(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTok = size(toksCol).cast("long")
+    val over = greatest(nTok - ChunkSize, lit(0L))
+    val nChunks = when(nTok === 0, 0L)
+      .otherwise(lit(1L) + (over + ChunkStride - 1) / ChunkStride)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), nTok.as("n_tok"),
+        nChunks.cast("long").as("n_chunks"))
+      .withColumn("last_chunk_tokens",
+        when(col("n_chunks") <= 1, col("n_tok"))
+          .otherwise(col("n_tok") - lit(ChunkStride.toLong) * (col("n_chunks") - 1)))
+      .orderBy("doc_id")
+  }
+
+  /** Bigram-LM quality scoring — the CCNet-family "score documents by
+    * a language model trained on clean data" filter: add-one-smoothed
+    * bigram probabilities estimated on the TRAIN split ([[corpusSplit]]
+    * buckets), every doc scored by its mean ln P(w2|w1). Shape: two
+    * train-side count aggregates (map-side combine), the model joins
+    * back by bigram/prefix key — the model IS a DataFrame, broadcast
+    * or shuffled by vocabulary key, never collected to the driver.
+    */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val isTrain = (hash60(col("text")) % 100) < 90
+    val docs = Tables.documents(spark, sfDir).withColumn("is_train", isTrain)
+    val bi = docs.select(col("doc_id"), col("is_train"),
+        explode(shingles(toksCol, 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val trainToks = docs.filter(col("is_train"))
+      .select(explode(toksCol).as("w1"))
+    val biC = bi.filter(col("is_train")).groupBy("bg").agg(count(lit(1)).as("cbg"))
+    val uniC = trainToks.groupBy("w1").agg(count(lit(1)).as("cw"))
+    val vocab = trainToks.agg(countDistinct("w1").as("v"))
+    bi.join(biC, Seq("bg"), "left")
+      .join(uniC, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lnp", log((coalesce(col("cbg"), lit(0L)) + 1).cast("double") /
+        (coalesce(col("cw"), lit(0L)) + col("v")).cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("lnp"), 4).as("avg_ln_p"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_chunk" -> (chunk _),
+    "q_text_lm_score" -> (lmScore _),
     "q_corpus_upsample" -> (upsample _),
     "q_text_redact" -> (redact _),
     "q_text_boilerplate" -> ((s: SparkSession, d: String) => boilerplate(s, d)),
@@ -405,6 +464,47 @@ object TextAnalysis {
        |FROM m""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_corpus_chunk" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tok,
+         |         CAST(CASE WHEN n_tok = 0 THEN 0
+         |              ELSE 1 + (greatest(n_tok - $ChunkSize, 0) + ${ChunkStride - 1}) // $ChunkStride
+         |              END AS BIGINT) AS n_chunks
+         |  FROM t)
+         |SELECT doc_id, n_tok, n_chunks,
+         |       CAST(CASE WHEN n_chunks <= 1 THEN n_tok
+         |            ELSE n_tok - $ChunkStride * (n_chunks - 1) END AS BIGINT) AS last_chunk_tokens
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_text_lm_score" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 < 90 AS is_train,
+        |         list_filter(string_split(text, ' '), t -> t != '') AS tk
+        |  FROM documents),
+        |bgp AS (
+        |  SELECT doc_id, is_train, bg, string_split(bg, ' ')[1] AS w1 FROM (
+        |    SELECT doc_id, is_train,
+        |           unnest(CASE WHEN len(tk) >= 2
+        |                  THEN list_transform(range(1, len(tk)),
+        |                       i -> array_to_string(list_slice(tk, i, i + 1), ' '))
+        |                  ELSE [] END) AS bg
+        |    FROM d)),
+        |bic AS (SELECT bg, count(*) AS cbg FROM bgp WHERE is_train GROUP BY bg),
+        |uc AS (SELECT w1, count(*) AS cw FROM (
+        |         SELECT unnest(tk) AS w1 FROM d WHERE is_train) GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w1) AS vv FROM (
+        |         SELECT unnest(tk) AS w1 FROM d WHERE is_train))
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |       round(avg(ln((coalesce(bic.cbg, 0) + 1) * 1.0
+        |                 / (coalesce(uc.cw, 0) + (SELECT vv FROM v)))), 4) AS avg_ln_p
+        |FROM bgp b
+        |LEFT JOIN bic USING (bg)
+        |LEFT JOIN uc USING (w1)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "q_corpus_upsample" -> {
       val wCase = EpochWeights
         .map { case (l, wt) => s"WHEN '$l' THEN $wt" }.mkString(" ")
