@@ -216,6 +216,33 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
       .orderBy("day", "event_type")
 
+  /** Time-series resample + forward-fill: per user, an hourly grid
+    * spanning [first, last] active hour; missing buckets inherit the
+    * last observed hourly total (`last(_, ignoreNulls)` over a
+    * running window). The grid explode is `sequence(h0, h1, 1 hour)`
+    * — per-key map work; the fill is one window over the user
+    * partition, so the whole query is one shuffle on user_id. The
+    * classic gap-filling shape for downsampled metrics at any scale
+    * (grid size is bounded by the time span, not the event count).
+    */
+  def resampleFfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum("value").as("v"))
+    val grid = hourly.groupBy("user_id")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("filled", last("v", ignoreNulls = true).over(w))
+      .select(col("user_id"), col("h"),
+        round(col("filled"), 4).as("value_ffill"),
+        col("v").isNull.as("was_gap"))
+      .orderBy("user_id", "h")
+  }
+
   /** Sessionization (gaps-and-islands): 30-minute inactivity gap starts
     * a new session. Two windows over ONE shuffle on user_id (same
     * partitioning, Catalyst reuses the exchange), then a partial-agg
@@ -295,6 +322,7 @@ object Relational {
     "q_window_running" -> (windowRunning _),
     "q_rollup" -> (rollupAgg _),
     "q_time_window_agg" -> (timeWindowAgg _),
+    "q_resample_ffill" -> (resampleFfill _),
     "q_sessionize" -> (sessionize _),
     "q_asof_join" -> (asofJoin _),
     "q_range_join" -> (rangeJoin _))
@@ -399,6 +427,23 @@ object Relational {
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
         |       count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_resample_ffill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+        |         sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+        |j AS (
+        |  SELECT g.user_id, g.h, hourly.v
+        |  FROM grid g LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h)
+        |SELECT user_id, h,
+        |       round(last_value(v IGNORE NULLS) OVER (
+        |         PARTITION BY user_id ORDER BY h
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value_ffill,
+        |       v IS NULL AS was_gap
+        |FROM j ORDER BY 1, 2""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts, value,

@@ -84,8 +84,23 @@ object VendasMart {
       .orderBy("PEDIDO", "ITEM")
   }
 
+  /** The inverse of the pivot: melt the wide per-user event matrix
+    * back to long (user_id, event_type, total) form — Spark's native
+    * `unpivot` (no UNION-ALL re-scan per column; one pass, codegen'd
+    * Expand). Null cells (user never produced that event type) drop
+    * out, so unpivot∘pivot round-trips to the plain groupBy aggregate
+    * — which is exactly what the oracle states.
+    */
+  def eventsUnpivot(spark: SparkSession, sfDir: String): DataFrame =
+    eventsPivot(spark, sfDir)
+      .unpivot(Array(col("user_id")), EventTypes.map(col(_)).toArray, "event_type", "total")
+      .filter(col("total").isNotNull)
+      .select(col("user_id"), col("event_type"), round(col("total"), 4).as("total"))
+      .orderBy("user_id", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vendas_mart" -> ((s, dir) => mart(s, dir)),
+    "q_unpivot_events" -> (eventsUnpivot _),
     "q_pivot_events" -> ((s, dir) =>
       eventsPivot(s, dir)
         .na.fill(0.0, EventTypes)
@@ -99,6 +114,9 @@ object VendasMart {
     .mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_unpivot_events" ->
+      """SELECT user_id, event_type, round(sum(value), 4) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "vendas_mart" ->
       s"""WITH evp AS (SELECT user_id, $pivotCase FROM events GROUP BY user_id)
          |SELECT l.l_orderkey AS "PEDIDO",
