@@ -79,6 +79,14 @@ object TextFns {
   def shingleSet(text: Column, n: Int): Column =
     ColumnShim.column(TextShingles(ColumnShim.expression(text), n))
 
+  /** NON-distinct word n-gram list (every occurrence, in order) —
+    * the same native kernel with dedup off, equivalent to
+    * `shingles(tokens(text), n)`. For frequency-sensitive consumers
+    * (n-gram LM counts), where the distinct set would be wrong.
+    */
+  def shingleList(text: Column, n: Int): Column =
+    ColumnShim.column(TextShingles(ColumnShim.expression(text), n, distinct = false))
+
   /** L2 norm via the same sequential fold. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -399,7 +399,7 @@ object TextAnalysis {
     val isTrain = (hash60(col("text")) % 100) < 90
     val docs = Tables.documents(spark, sfDir).withColumn("is_train", isTrain)
     val bi = docs.select(col("doc_id"), col("is_train"),
-        explode(shingles(toksCol, 2)).as("bg"))
+        explode(shingleList(col("text"), 2)).as("bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     val trainToks = docs.filter(col("is_train"))
       .select(explode(toksCol).as("w1"))

@@ -62,10 +62,14 @@ class GraftExpressionsSpec extends SparkSpec {
     for (n <- Seq(1, 2, 3, 5)) {
       val df = texts.toDF("text")
         .select($"text", TextFns.shingleSet($"text", n).as("native"),
-          chainShingles($"text", n).as("chain"))
+          chainShingles($"text", n).as("chain"),
+          TextFns.shingleList($"text", n).as("native_all"),
+          TextFns.shingles(TextFns.tokens($"text"), n).as("chain_all"))
       df.collect().foreach { r =>
         assert(r.getSeq[String](1) == r.getSeq[String](2),
           s"n=$n text='${r.getString(0)}'")
+        assert(r.getSeq[String](3) == r.getSeq[String](4),
+          s"non-distinct n=$n text='${r.getString(0)}'")
       }
     }
   }
