@@ -129,6 +129,44 @@ class OperatorSpec extends SparkSpec {
     sfBanded.foreach { case (k, c) => assert(sfExact.get(k).contains(c)) }
   }
 
+  test("corpus-op invariants: chunk geometry, upsample bounds, resample density") {
+    import graft.operators.TextAnalysis._
+    // Chunking: the final chunk is non-empty and within the window;
+    // the chunk count is the tightest cover of the token run.
+    chunk(spark, sf).collect().foreach { r =>
+      val (nTok, nChunks, last) = (r.getAs[Long]("n_tok"),
+        r.getAs[Long]("n_chunks"), r.getAs[Long]("last_chunk_tokens"))
+      if (nTok == 0) assert(nChunks == 0)
+      else {
+        assert(last >= 1 && last <= ChunkSize)
+        assert(ChunkStride * (nChunks - 1) < nTok)
+        assert(nTok <= ChunkStride * (nChunks - 1) + ChunkSize)
+      }
+    }
+    // Upsampling: per-language post-mix rows bounded by floor/ceil of
+    // the weight times the doc count.
+    val weights = EpochWeights.toMap
+    upsample(spark, sf).collect().foreach { r =>
+      val w = weights(r.getAs[String]("lang"))
+      val (nDocs, nRows) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_rows_postmix"))
+      assert(nRows >= math.floor(w).toLong * nDocs, r.toString)
+      assert(nRows <= math.ceil(w).toLong * nDocs, r.toString)
+    }
+    // Resample: the filled series has no nulls, and the first row of
+    // each user is never a gap (the grid starts at an observed hour).
+    val rs = graft.operators.Relational.resampleFfill(spark, sf).collect()
+    assert(rs.forall(!_.isNullAt(2)))
+    val firstPerUser = rs.groupBy(_.getAs[Long]("user_id"))
+      .map { case (_, rows) => rows.minBy(_.getAs[java.sql.Timestamp]("h").getTime) }
+    assert(firstPerUser.forall(!_.getAs[Boolean]("was_gap")))
+    // Contamination: every reported test doc shares at least one gram
+    // with at least one train doc.
+    contamination(spark, sf).collect().foreach { r =>
+      assert(r.getAs[Long]("n_train_docs") >= 1)
+      assert(r.getAs[Long]("n_shared_grams") >= 1)
+    }
+  }
+
   // --- similarity invariants -------------------------------------------
 
   test("brute-force top-k: k rows per query, ranks contiguous, scores non-increasing") {
