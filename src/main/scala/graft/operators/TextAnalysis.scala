@@ -48,7 +48,11 @@ object TextAnalysis {
     * training. All ratios are per-row arithmetic; the score is a
     * deterministic blend so the oracle can reproduce it exactly.
     */
-  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Pure per-row scoring projection over any frame with (doc_id,
+    * text) — batch AND streaming-safe (no shuffle, no state), which
+    * is why the ingest-time quality gate costs zero extra I/O.
+    */
+  def qualityScoreOf(docs: DataFrame): DataFrame = {
     val nTok = size(toksCol).cast("double")
     val stopTok = size(filter(toksCol,
       t => array_contains(array(Stopwords.map(lit): _*), t))).cast("double")
@@ -60,15 +64,16 @@ object TextAnalysis {
       lit(0.4) * least(lit(1.0), nTok / lit(50.0)) +
         lit(0.4) * (lit(1.0) - punctRatio) +
         lit(0.2) * least(lit(1.0), stopRatio * lit(10.0))
-    Tables.documents(spark, sfDir)
-      .select(
-        col("doc_id"),
-        nTok.cast("int").as("n_tokens"),
-        round(stopRatio, 4).as("stopword_ratio"),
-        round(punctRatio, 4).as("punct_ratio"),
-        round(score, 4).as("quality_score"))
-      .orderBy("doc_id")
+    docs.select(
+      col("doc_id"),
+      nTok.cast("int").as("n_tokens"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(score, 4).as("quality_score"))
   }
+
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
+    qualityScoreOf(Tables.documents(spark, sfDir)).orderBy("doc_id")
 
   /** Per-language stopword profiles (the word-level n-gram heuristic;
     * real corpora would add char n-gram profiles — same per-row

@@ -51,6 +51,26 @@ class IngestSpec extends SparkSpec {
     assert(!df.columns.contains("bonus_col"))
   }
 
+  test("align is source-agnostic: JSON-lines bronze aligns to the same silver schema") {
+    val bronze = tmpDir("bronze_json")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(bronze))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(bronze, "a.jsonl"),
+      // Extra field, one declared field missing, fields out of order —
+      // the same drift the CSV tests pin.
+      """{"customer_city":"campinas","customer_id":"c7","surprise":1}
+        |{"customer_id":"c8","customer_unique_id":"u8","customer_state":"SP"}
+        |""".stripMargin)
+    val raw = spark.read.json(bronze)
+    val df = IngestJob(OlistCatalog.customers).align(raw)
+    assert(df.columns.toSeq == OlistCatalog.customers.schema.fieldNames.toSeq)
+    val byId = df.collect().map(r => r.getAs[String]("customer_id") -> r).toMap
+    assert(byId("c7").getAs[String]("customer_city") == "campinas")
+    assert(byId("c7").isNullAt(df.columns.indexOf("customer_state")))
+    assert(byId("c8").getAs[String]("customer_unique_id") == "u8")
+    assert(!df.columns.contains("surprise"))
+  }
+
   test("transform casts tsCols to timestamp; garbage -> null (pinned divergence)") {
     val bronze = tmpDir("bronze")
     val d = s"$bronze/olist/orders"

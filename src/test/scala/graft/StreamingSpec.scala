@@ -157,6 +157,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(1L) && rows.contains(2L) && rows.contains(3L))
   }
 
+  test("text quality scoring runs unchanged on a stream (map-only, stateless)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val scored = graft.operators.TextAnalysis.qualityScoreOf(
+      mem.toDF().toDF("doc_id", "text"))
+    val q = scored.writeStream.format("memory").queryName("stream_quality")
+      .outputMode("append").start()
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "!!! ??? ###"),
+      (3L, ""))
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("stream_quality").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality_score")).toMap
+    q.stop()
+    val batch = graft.operators.TextAnalysis.qualityScoreOf(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("quality_score")).toMap
+    assert(streamed == batch)
+    assert(streamed(1L) > streamed(2L), "clean text must outscore punctuation soup")
+  }
+
   test("streaming sessionize agrees with the batch gap-sessionization") {
     import org.apache.spark.sql.expressions.Window
     implicit val sqlCtx = spark.sqlContext
