@@ -224,6 +224,11 @@ object Relational {
     * partition, so the whole query is one shuffle on user_id. The
     * classic gap-filling shape for downsampled metrics at any scale
     * (grid size is bounded by the time span, not the event count).
+    * Span note: the per-key `sequence` is O(hours in [first, last]) —
+    * a key active across years emits ~10⁴ rows, fine; but an
+    * unbounded retention window should clamp the grid (e.g. resample
+    * the trailing 90 days) or coarsen the bucket, since one row's
+    * sequence array materializes in task memory.
     */
   def resampleFfill(spark: SparkSession, sfDir: String): DataFrame = {
     val hourly = Tables.events(spark, sfDir)

@@ -308,7 +308,12 @@ object TextAnalysis {
     * index (5% of the corpus) against the train index — bounded by
     * gram-bucket occupancy exactly like the dedup joins; at 100 TB the
     * train side is the persisted shingle index, only the (small) eval
-    * side is hashed fresh.
+    * side is hashed fresh. Skew note: stopword-like 5-grams with huge
+    * train df are the hot-bucket risk — production decontamination
+    * caps gram document frequency (a gram in >10⁴ train docs carries
+    * no contamination signal) before the join, the same df-prefilter
+    * lever as [[graft.operators.Dedup.ngramJaccard]]; unnecessary at
+    * test scale, so not applied here.
     */
   def contamination(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame = {
     val bucket = hash60(col("text")) % 100
