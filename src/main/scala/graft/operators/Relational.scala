@@ -216,6 +216,41 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
       .orderBy("day", "event_type")
 
+  /** SCD type-2 interval build: each (customer, order) row becomes a
+    * validity interval — valid_from = its date, valid_to = the NEXT
+    * row's date in the key's timeline (null = current). One window
+    * over one shuffle on the key; the standard change-capture →
+    * dimension-history transform. Deterministic tiebreak on the id so
+    * equal-dated changes order identically in both engines.
+    */
+  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
+    Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") <= 200)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate").as("valid_from"))
+      .withColumn("valid_to", lead("valid_from", 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+
+  /** Distribution window functions (ntile / percent_rank / cume_dist)
+    * over one shared window spec — one sort per key, all three
+    * functions computed in the same pass.
+    */
+  def windowPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_partkey") <= 50)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 4).as("price"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"))
+      .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+  }
+
   /** Time-series resample + forward-fill: per user, an hourly grid
     * spanning [first, last] active hour; missing buckets inherit the
     * last observed hourly total (`last(_, ignoreNulls)` over a
@@ -328,6 +363,8 @@ object Relational {
     "q_rollup" -> (rollupAgg _),
     "q_time_window_agg" -> (timeWindowAgg _),
     "q_resample_ffill" -> (resampleFfill _),
+    "q_scd2_intervals" -> (scd2Intervals _),
+    "q_window_percentiles" -> (windowPercentiles _),
     "q_sessionize" -> (sessionize _),
     "q_asof_join" -> (asofJoin _),
     "q_range_join" -> (rangeJoin _))
@@ -432,6 +469,25 @@ object Relational {
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
         |       count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_scd2_intervals" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus,
+        |       o_orderdate AS valid_from,
+        |       lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |       lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+        |FROM orders WHERE o_custkey <= 200
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+    "q_window_percentiles" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+        |       round(l_extendedprice, 4) AS price,
+        |       CAST(ntile(4) OVER w AS INT) AS quartile,
+        |       round(percent_rank() OVER w, 4) AS pct_rank,
+        |       round(cume_dist() OVER w, 4) AS cume
+        |FROM lineitem WHERE l_partkey <= 50
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |             ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin,
     "q_resample_ffill" ->
       """WITH hourly AS (
         |  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
