@@ -281,6 +281,29 @@ class OperatorSpec extends SparkSpec {
     assert(res(4).isNullAt(2))
   }
 
+  test("as-of join matches a brute-force reference on seeded random data") {
+    val rnd = new scala.util.Random(97)
+    val keys = Seq("A", "B", "C", "D")
+    val quotes = (1L to 300L).map(i =>
+      (keys(rnd.nextInt(keys.length)), rnd.nextInt(50), rnd.nextInt(1000) / 10.0, i))
+    val trades = (1 to 200).map(_ => (keys(rnd.nextInt(keys.length + 1) % keys.length),
+      rnd.nextInt(60)))
+    val res = AsOfJoin.leftAsOf(trades.toDF("k", "t"), "k", "t",
+      quotes.toDF("k", "t", "px", "qid"), "k", "t", Seq("px", "qid"), "qid")
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Int]("t")) ->
+        (if (r.isNullAt(r.fieldIndex("qid"))) None else Some(r.getAs[Long]("qid"))))
+      .toMap
+    // Brute force: latest quote at-or-before, highest qid breaks ties.
+    trades.distinct.foreach { case (k, t) =>
+      val expect = quotes.filter(q => q._1 == k && q._2 <= t)
+        .sortBy(q => (q._2, q._4)).lastOption.map(_._4)
+      assert(res((k, t)) == expect, s"key=$k t=$t")
+    }
+    // Row preservation: every trade appears exactly once per distinct row.
+    assert(res.size == trades.distinct.size)
+  }
+
   // --- bounded top-k aggregator ---------------------------------------
 
   test("TopK aggregator: bounded, deterministic ties, merge-safe") {
