@@ -574,7 +574,7 @@ object Dedup {
     * the MinHash LSH pair pipeline, used by both the pairs query and
     * the clustering query's recursive closure.
     */
-  private lazy val minhashPairCtes: String = {
+  private[operators] lazy val minhashPairCtes: String = {
     val bandKey = (0 until NumBands).map { b =>
       val slots = (b * BandRows until (b + 1) * BandRows).map(i => s"m$i").mkString(", ")
       s"md5(concat_ws(',', $slots))"

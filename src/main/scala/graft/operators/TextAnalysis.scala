@@ -211,11 +211,11 @@ object TextAnalysis {
     * scale is always per-shard (ExplainSpec pins the no-single-
     * partition shape).
     */
-  def sequencePack(spark: SparkSession, sfDir: String, budget: Int = 2048): DataFrame = {
+  def sequencePackOf(docs: DataFrame, budget: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), (col("doc_id") % PackShards).as("shard"),
         size(tokens(col("text"))).cast("long").as("n_tok"))
       .withColumn("before", coalesce(sum("n_tok").over(w), lit(0L)))
@@ -227,6 +227,29 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("pack_tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
       .orderBy("shard", "pack_id")
+  }
+
+  def sequencePack(spark: SparkSession, sfDir: String, budget: Int = 2048): DataFrame =
+    sequencePackOf(Tables.documents(spark, sfDir), budget)
+
+  /** THE capstone composition — the full corpus-preparation pipeline
+    * as one declarative query: near+exact dedup survivors → quality
+    * gate (score ≥ 0.7 on the rounded [[qualityScoreOf]] output) →
+    * per-shard sequence packing of what remains. Every stage is the
+    * already-verified operator (survivor semi-join over the memoized
+    * cluster index, scoring fused into the scan, partitioned packing
+    * window); composing them adds two semi-joins and nothing else —
+    * the plan a production corpus build would actually run.
+    */
+  def corpusPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val surviving = Dedup.survivors(spark, sfDir).select("doc_id")
+    val quality = qualityScoreOf(docs)
+      .filter(col("quality_score") >= 0.7)
+      .select("doc_id")
+    sequencePackOf(docs
+      .join(surviving, Seq("doc_id"), "left_semi")
+      .join(quality, Seq("doc_id"), "left_semi"))
   }
 
   /** Language-mix sampling: cap each language at a quota, keeping the
@@ -427,6 +450,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_corpus" -> (corpusPipeline _),
     "q_corpus_chunk" -> (chunk _),
     "q_text_lm_score" -> (lmScore _),
     "q_corpus_upsample" -> (upsample _),
@@ -474,6 +498,39 @@ object TextAnalysis {
        |FROM m""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_pipeline_corpus" ->
+      s"""WITH RECURSIVE ${Dedup.minhashPairCtes},
+         |bi AS (
+         |  SELECT a_id AS src, b_id AS dst FROM mh_pairs
+         |  UNION ALL SELECT b_id, a_id FROM mh_pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM bi),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT bi.dst, r0.label FROM reach r0 JOIN bi ON bi.src = r0.id),
+         |lab AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+         |exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |non_canon AS (SELECT id AS doc_id FROM lab WHERE id <> cluster),
+         |q AS ($qualitySqlBody),
+         |kept AS (
+         |  SELECT d.doc_id, d.text FROM documents d
+         |  JOIN q ON q.doc_id = d.doc_id
+         |  WHERE d.doc_id IN (SELECT doc_id FROM exact_keep)
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM non_canon)
+         |    AND q.quality_score >= 0.7),
+         |kt AS (
+         |  SELECT doc_id, doc_id % $PackShards AS shard,
+         |         CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tok
+         |  FROM kept),
+         |rr AS (
+         |  SELECT doc_id, shard, n_tok,
+         |         coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+         |  FROM kt)
+         |SELECT shard, CAST(before // 2048 AS BIGINT) AS pack_id,
+         |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM rr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_corpus_chunk" ->
       s"""WITH t AS (
          |  SELECT doc_id,
