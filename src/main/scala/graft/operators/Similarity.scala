@@ -280,6 +280,44 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** ANN recall audit — the approximation-quality "stats page" next
+    * to [[bucketStats]]: per query vector, how many of the exact
+    * top-[[LshTopK]] neighbors each approximate method (hyperplane
+    * LSH, IVF nprobe=1, IVF nprobe=2) actually returned, plus the
+    * per-method mean. The audit every production ANN deployment runs
+    * on a sampled query set to tune planes/nlist/nprobe — here it is
+    * a first-class query: two small joins per method over the top-k
+    * outputs, nothing beyond the already-planned pipelines.
+    *
+    * Reading the numbers on THIS data: the synthetic vectors are
+    * near-orthogonal (cosine ≈ 0 everywhere), so no locality-based
+    * method can beat its candidate-fraction baseline — recall ≈
+    * |candidates|/|corpus| (IVF ≈ 1/nlist, doubled by nprobe=2; LSH ≈
+    * 1/2^planes ≈ 0). That is the audit working, not failing: on a
+    * real embedding corpus with actual neighbors the same query
+    * reports the meaningful recall that drives plane/nlist/nprobe
+    * tuning.
+    */
+  def recallAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = bruteForceTopK(spark, sfDir)
+      .filter(col("rank") <= LshTopK)
+      .select(col("q_id"), col("n_id"))
+    // mean recall = total hits / (k × queries) — one integer count,
+    // ONE division, so the float result is bit-identical across
+    // engines (a mean-of-per-query-recalls would sum inexact k/3
+    // doubles in engine-dependent order). Equivalent because every
+    // query has exactly k truth rows.
+    def hitRate(approx: DataFrame, method: String): DataFrame =
+      truth.join(approx.select(col("q_id"), col("n_id")), Seq("q_id", "n_id"))
+        .agg(round(count(lit(1)).cast("double") / (LshTopK * NumQueries), 4)
+          .as("mean_recall"))
+        .select(lit(method).as("method"), col("mean_recall"))
+    hitRate(lshTopK(spark, sfDir), "lsh")
+      .unionByName(hitRate(ivfTopK(spark, sfDir), "ivf_nprobe1"))
+      .unionByName(hitRate(ivfProbeTopK(spark, sfDir), "ivf_nprobe2"))
+      .orderBy("method")
+  }
+
   /** Bucket occupancy histogram — the ANN index "stats page"; also a
     * cheap skew check (a hot bucket ⇒ add planes or re-salt).
     */
@@ -297,6 +335,7 @@ object Similarity {
     "q_sim_ivf_topk" -> (ivfTopK _),
     "q_sim_ivf_probe2" -> (ivfProbeTopK _),
     "q_sim_quantize" -> (quantize _),
+    "q_sim_recall" -> (recallAudit _),
     "q_sim_buckets" -> (bucketStats _))
 
   // ---- DuckDB oracles -------------------------------------------------
@@ -341,7 +380,7 @@ object Similarity {
        |SELECT q_id, rank, n_id, round(cosine, 4) AS cosine
        |FROM ranked WHERE rank <= $TopK ORDER BY 1, 2""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  private lazy val baseOracles: Map[String, String] = Map(
     "q_sim_quantize" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -443,4 +482,26 @@ object Similarity {
       s"""WITH $planesCte
          |SELECT bucket, count(*) AS n_vecs
          |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin)
+
+  /** The recall audit composes the three approximate-method oracles as
+    * subqueries against the brute-force truth — same exact-count /
+    * one-division formulation as the Spark side.
+    */
+  val oracleSql: Map[String, String] = baseOracles + ("q_sim_recall" -> {
+    def sub(sql: String) = sql.replace("\n", "\n  ")
+    def leg(name: String, sql: String) =
+      s"""SELECT '$name' AS method,
+         |       round(count(*) * 1.0 / ${LshTopK * NumQueries}, 4) AS mean_recall
+         |FROM truth t JOIN (
+         |  ${sub(sql)}) m ON t.q_id = m.q_id AND t.n_id = m.n_id""".stripMargin
+    s"""WITH truth AS (SELECT q_id, n_id FROM (
+       |  ${sub(bruteTopKSql)}) WHERE rank <= $LshTopK)
+       |SELECT * FROM (
+       |${leg("lsh", baseOracles("q_sim_lsh_topk"))}
+       |UNION ALL
+       |${leg("ivf_nprobe1", baseOracles("q_sim_ivf_topk"))}
+       |UNION ALL
+       |${leg("ivf_nprobe2", baseOracles("q_sim_ivf_probe2"))})
+       |ORDER BY method""".stripMargin
+  })
 }
