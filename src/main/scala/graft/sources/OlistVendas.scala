@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** The reference's silver→gold "vendas" mart on the *actual Olist
   * schemas* (`scripts/silver_to_gold/ingestion_vendas_silver_to_gold.py`)
@@ -113,6 +114,23 @@ object OlistVendas {
       .groupBy("order_id").pivot("payment_type", PaymentTypes).sum("payment_value")
     martFrom(items, orders, products, customers, paymentsPivot)
   }
+
+  /** Stream→JDBC mirror via `foreachBatch` — the bridge for sinks
+    * with no native streaming writer: each micro-batch of the
+    * incremental gold mart full-replaces the mirror table, which is
+    * the reference's `to_sql(if_exists='replace')`
+    * (`s2g/vendas.py:173-180`) run continuously. `foreachBatch` hands
+    * the micro-batch over as a plain DataFrame, so the proven batch
+    * sink is reused untouched; with `AvailableNow` + checkpoint the
+    * same call is the idempotent backfill.
+    */
+  def jdbcMirrorStream(gold: DataFrame, target: Sinks.JdbcTarget,
+      checkpoint: String): StreamingQuery =
+    gold.writeStream
+      .foreachBatch((batch: DataFrame, _: Long) => Sinks.jdbcReplace(batch, target))
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
 
   /** Gold parquet sink + optional JDBC mirror — the reference's
     * `to_parquet`+upload (`:152-162`) and `to_sql(if_exists='replace')`

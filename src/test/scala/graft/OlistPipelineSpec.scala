@@ -137,5 +137,19 @@ class OlistPipelineSpec extends SparkSpec {
     val batch = OlistVendas.mart(spark, silver).collect().map(_.toSeq).toSet
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+
+    // foreachBatch bridge: the same incremental mart mirrored into
+    // embedded Derby per micro-batch (the reference's MySQL replace,
+    // run from a stream). Read-back must equal the batch mart.
+    val dbPath = tmpDir("sgold_db") + "/mirror"
+    val t = graft.sources.Sinks.JdbcTarget(
+      s"jdbc:derby:$dbPath;create=true", "TB_VENDAS", "", "")
+    val mq = OlistVendas.jdbcMirrorStream(
+      OlistVendas.incrementalMart(spark, silver), t, tmpDir("sgold_dbck"))
+    mq.awaitTermination(120000)
+    val mirrored = spark.read.format("jdbc")
+      .option("url", t.url).option("dbtable", t.table).load()
+      .collect().map(_.toSeq).toSet
+    assert(mirrored == batch)
   }
 }
