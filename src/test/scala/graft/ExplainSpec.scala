@@ -71,6 +71,14 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("capstone pipeline and resample plan equi-joins and partitioned windows only") {
+    for (q <- Seq("q_pipeline_corpus", "q_resample_ffill")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("CartesianProduct"), s"$q:\n" + plan.take(1500))
+      assert(!plan.contains("Exchange SinglePartition"), s"$q:\n" + plan.take(1500))
+    }
+  }
+
   test("re-derived MinHash pair plans substitute the cached fragment") {
     // Materialize the cache via the pairs query; any later derivation
     // of the same logical subtree (what clustering/survivors/best-keep
