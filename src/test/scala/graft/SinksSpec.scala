@@ -55,6 +55,22 @@ class SinksSpec extends SparkSpec {
     assert(back2.collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("schema evolution: mergeSchema unions evolving silver files; old rows null-fill") {
+    // A silver table that gained a column mid-life — the standard
+    // lakehouse evolution case. mergeSchema reconciles the footers;
+    // rows from the pre-evolution files surface the new column as
+    // null (exactly the by-name alignment semantics IngestJob gives
+    // drifting CSV).
+    val path = tmpDir("evolve") + "/t"
+    Seq((1L, "a")).toDF("id", "v1").write.mode("append").parquet(path)
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2_added").write.mode("append").parquet(path)
+    val merged = spark.read.option("mergeSchema", true).parquet(path)
+    assert(merged.columns.sorted.toSeq == Seq("id", "v1", "v2_added"))
+    val byId = merged.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(merged.columns.indexOf("v2_added")))
+    assert(byId(2L).getDouble(merged.columns.indexOf("v2_added")) == 9.5)
+  }
+
   test("partition-key predicates prune at the scan (PartitionFilters)") {
     val path = tmpDir("gold_part2") + "/mart"
     Sinks.partitionedParquet(
