@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,6 +15,14 @@ object Bench {
     // JIT) on the sf0.001 flagship so the first timed query doesn't
     // absorb one-time setup cost.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // Build the memoized index frames (shingle index, MinHash
+    // signatures, LSH pairs, clusters) BEFORE timing starts and charge
+    // them to a separate `index_build` line — otherwise the first
+    // dedup-family query in run order pays the one-time build and
+    // per-query numbers become order-dependent.
+    val tIx0 = System.nanoTime()
+    try operators.Dedup.prewarm(spark, sfDir) catch { case _: Throwable => () }
+    val indexBuild = (System.nanoTime() - tIx0) / 1e9
     // Deterministic run order (sorted by name) so per-query timings are
     // comparable across rounds — Map iteration order is hash-dependent.
     //
@@ -23,12 +32,14 @@ object Bench {
     // instead of their declared work. The noop sink evaluates every
     // output row/column and discards it.
     //
-    // Each query is timed twice and the MIN reported: this VM sees
-    // bursty host-level CPU steal (observed 10-20x outliers on trivial
-    // projections), and min-of-2 rejects a stolen window while keeping
-    // the measurement honest — the second run re-executes the full
-    // plan (no result caching; only deliberately-persisted index
-    // frames are warm, which is the documented index-reuse behavior).
+    // Each query is timed THREE times: the per-query number is the MIN
+    // (this VM sees bursty host-level CPU steal with 10-20x outliers on
+    // trivial projections, and min rejects a stolen window) while the
+    // headline total sums the per-query MEDIANS (a min-sum understates
+    // sustained cost; a median tolerates one stolen window per query).
+    // Every run re-executes the full plan — no result caching; only the
+    // deliberately-persisted index frames above are warm, which is the
+    // documented index-reuse behavior.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
@@ -38,23 +49,33 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val (t1, ok1) = once()
-      val (t2, ok2) = if (ok1) once() else (t1, ok1)
-      // If the two timings disagree wildly (>3x), a steal burst hit
-      // one of them — one adaptive retry, then take the min of all.
-      val (t3, ok3) =
-        if (ok1 && ok2 && math.max(t1, t2) > 3 * math.min(t1, t2)) once()
-        else (math.max(t1, t2), true)
-      (name, math.min(math.min(t1, t2), t3), ok1 && ok2 && ok3)
+      if (!ok1) (name, -1.0, -1.0, false)
+      else {
+        val (t2, ok2) = once()
+        val (t3, ok3) = if (ok2) once() else (t2, ok2)
+        if (!(ok2 && ok3)) (name, -1.0, -1.0, false)
+        else {
+          val ts = Seq(t1, t2, t3).sorted
+          (name, ts.head, ts(1), true)
+        }
+      }
     }
-    // A failed query reports -1 (and lands in "errors") rather than
-    // polluting the totals with a near-zero "timing".
+    def r3(v: Double): String = f"$v%.3f"
+    // Compact record, totals first: per-query values rounded to 3
+    // decimals keep the whole line inside the driver's tail window
+    // (round 3's full-precision line was truncated mid-JSON).
     val qs = results
-      .map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1) }
+      .map { case (k, mn, _, ok) => "\"" + k + "\":" + (if (ok) r3(mn) else "-1") }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, false) => s"\"$k\"" }
+    val errors = results.collect { case (k, _, _, false) => s"\"$k\"" }
       .mkString("[", ",", "]")
-    val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write,min-of-2","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val ok = results.filter(_._4)
+    val totalMedian = ok.map(_._3).sum
+    val totalMin = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":${r3(totalMedian)},"unit":"sec","sf":"$sfDir","action":"noop-write,median-of-3 total,min-of-3 per query","total_min":${r3(totalMin)},"index_build":${r3(indexBuild)},"n_queries":${results.size},"errors":$errors,"queries":$qs}""")
+    // Short summary repeated LAST: if the record above ever outgrows
+    // the driver's tail window again, the totals still land intact.
+    println(s"""{"metric":"total","value":${r3(totalMedian)},"unit":"sec","sf":"$sfDir","total_min":${r3(totalMin)},"index_build":${r3(indexBuild)},"n_queries":${results.size},"errors":$errors}""")
     spark.stop()
   }
 }
