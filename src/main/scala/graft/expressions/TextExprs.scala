@@ -95,7 +95,13 @@ case class TextShingles(child: Expression, n: Int, distinct: Boolean = true)
   *
   * Gram semantics match `TextFns.charShingles`: texts shorter than
   * `n` contribute the whole text as the single gram (including the
-  * empty string — md5("") is well-defined in both engines).
+  * empty string — md5("") is well-defined in both engines). Lengths
+  * and gram boundaries are CODE POINTS, not UTF-16 units — Spark's
+  * `length`/`substr` (and DuckDB's) count code points, so slicing by
+  * Java char would miscount supplementary-plane text (emoji, CJK
+  * extensions) and split surrogate pairs into broken grams whose
+  * UTF-8 bytes md5 differently. BMP-only strings (code units ==
+  * code points) keep the cheap char-indexed path.
   */
 case class CharNgramFingerprint(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
@@ -110,17 +116,34 @@ case class CharNgramFingerprint(child: Expression, n: Int)
 
   override protected def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val len = text.length
+    val utf16Len = text.length
+    val cpLen = text.codePointCount(0, utf16Len)
     var minHash = Long.MaxValue
     val seen = mutable.HashSet.empty[String]
-    if (len < n) {
+    if (cpLen < n) {
       seen += text
       minHash = HashKernel.hash60(text)
-    } else {
+    } else if (cpLen == utf16Len) {
+      // BMP-only fast path: code units == code points, char indexing
+      // is exact.
       var i = 0
-      val last = len - n
+      val last = utf16Len - n
       while (i <= last) {
         val g = text.substring(i, i + n)
+        if (seen.add(g)) {
+          val h = HashKernel.hash60(g)
+          if (h < minHash) minHash = h
+        }
+        i += 1
+      }
+    } else {
+      // Supplementary-plane text: window over code points so grams
+      // match `substr` semantics and surrogate pairs never split.
+      val cps = text.codePoints.toArray
+      var i = 0
+      val last = cpLen - n
+      while (i <= last) {
+        val g = new String(cps, i, n)
         if (seen.add(g)) {
           val h = HashKernel.hash60(g)
           if (h < minHash) minHash = h

@@ -73,7 +73,15 @@ case class DotProduct(left: Expression, right: Expression)
   *   mse   = Σ_i (v_i - q_i·scale)² / dim, summed left-to-right
   * Accepts `array<float>` (widened per element, exactly like
   * `transform(v, _.cast(double))`) or `array<double>`. Empty/null
-  * arrays yield null, matching `array_max(empty) = null` upstream.
+  * arrays yield a null struct — a DELIBERATE semantics choice, not an
+  * HOF equivalence: the replaced formulation's
+  * `greatest(array_max(|v|), 1e-12)` SKIPS the null from
+  * `array_max(empty)` (Spark `greatest` ignores nulls), so it produced
+  * scale = 1e-12/127, q_sum = 0, mse = 0.0 with only q_min/q_max null.
+  * Quantization stats of a zero-dimension vector are undefined; one
+  * null struct beats a half-null row of fictitious zeros. Pinned in
+  * GraftExpressionsSpec (non-empty equivalence + the empty-array
+  * null).
   */
 case class QuantizeStats(child: Expression, dim: Int)
     extends UnaryExpression with CodegenFallback {

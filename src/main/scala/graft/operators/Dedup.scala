@@ -409,8 +409,21 @@ object Dedup {
       buildNearDupClusters(spark, sfDir)
     }.orderBy("cluster")
 
-  private def buildNearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = minHashPairs(spark, sfDir).select("a_id", "b_id")
+  private def buildNearDupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    clusterPairsOf(minHashPairs(spark, sfDir).select("a_id", "b_id"))
+
+  /** Iteration count of the most recent [[clusterPairsOf]] run — a
+    * test/diagnostic hook (the spec drives a diameter-20 chain through
+    * the loop to prove convergence beyond the clique happy path).
+    */
+  @volatile private[graft] var lastPropagationIters: Int = 0
+
+  /** Min-label propagation over an arbitrary undirected pair list
+    * (columns `a_id`, `b_id`) — the loop behind [[nearDupClusters]],
+    * factored out so specs can drive adversarial graph shapes (long
+    * chains) that the LSH pair graph never produces.
+    */
+  private[graft] def clusterPairsOf(pairs: DataFrame): DataFrame = {
     // Undirected edge list, both directions.
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -445,6 +458,7 @@ object Dedup {
     }
     if (changed > 0) throw new IllegalStateException(
       s"near-dup label propagation did not converge in $MaxIters iterations")
+    lastPropagationIters = iter
     labels
       .groupBy("label")
       .agg(count(lit(1)).as("cluster_size"),

@@ -75,41 +75,74 @@ object TextAnalysis {
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
     qualityScoreOf(Tables.documents(spark, sfDir)).orderBy("doc_id")
 
-  /** Per-language stopword profiles (the word-level n-gram heuristic;
-    * real corpora would add char n-gram profiles — same per-row
-    * scoring shape).
+  /** Per-language CHARACTER-n-gram profiles — the fastText/CLD-family
+    * heuristic: score each language by the per-character rate of its
+    * characteristic char n-grams (substring matches, not word-boundary
+    * tokens, so inflected forms hit too). Chinese is special-cased as
+    * a SCRIPT profile — the ratio of Han-block codepoints
+    * (U+4E00–U+9FFF) — because zh text is unspaced and shares no
+    * alphabet with the latin profiles: no word-stopword list can ever
+    * fire on it, which is exactly why the earlier word-level profile
+    * answered 'und' for every zh document.
+    *
+    * NOTE on the synthetic corpus: the driver's `documents.lang`
+    * column is a label with ZERO textual signal — all five labels
+    * draw from one identical 31-token ASCII vocabulary (0 non-ASCII
+    * chars at every SF), so no content-based detector can recover it
+    * and `agrees` is meaningful only for 'en'. The zh path is proven
+    * on real multilingual fixtures in OperatorSpec instead.
     */
-  val LangProfiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "is"),
-    "fr" -> Seq("le", "la", "de", "et", "est"),
-    "de" -> Seq("der", "die", "und", "ist", "das"),
-    "es" -> Seq("el", "los", "que", "y", "es"))
+  val LangCharProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", " and ", "ing "),
+    "fr" -> Seq(" le ", " et ", "ent "),
+    "de" -> Seq("der ", " und ", "sch"),
+    "es" -> Seq(" el ", " de ", "ción"))
 
-  val LangThreshold = 0.05
-
-  /** Language ID: score every candidate language by its stopword
-    * hit-ratio, emit the argmax (below threshold → 'und'; ties resolve
-    * in profile order). A per-row scoring pass with zero shuffles —
-    * at 100 TB it fuses into the ingest scan.
+  /** Han unified-ideograph block bounds, as a regex char class shared
+    * with the oracle (literal codepoints — valid in both Java regex
+    * and DuckDB's RE2).
     */
-  def langId(spark: SparkSession, sfDir: String): DataFrame = {
-    val nTok = greatest(size(toksCol).cast("double"), lit(1.0))
-    def ratio(words: Seq[String]): Column =
-      size(filter(toksCol, t => array_contains(array(words.map(lit): _*), t)))
-        .cast("double") / nTok
-    val ratios = LangProfiles.map { case (l, words) => l -> ratio(words) }
+  val NonHanClass = "[^一-鿿]"
+
+  /** Minimum per-character profile-gram rate to call a language; below
+    * it the guess is 'und'. English prose runs ~0.01–0.08 on these
+    * grams; 0.002 keeps short/degenerate docs honest.
+    */
+  val LangThreshold = 0.002
+
+  /** Language ID: per-character profile-gram rate for each latin
+    * profile (substring occurrences via the length-difference trick —
+    * `(len(t) - len(replace(t, g))) / len(g)`, all codegen'd string
+    * ops), Han-script codepoint ratio for zh; emit the argmax (below
+    * threshold → 'und'; ties resolve in profile order). A per-row
+    * scoring pass with zero shuffles — at 100 TB it fuses into the
+    * ingest scan.
+    */
+  def langIdOf(docs: DataFrame): DataFrame = {
+    val textLen = greatest(length(col("text")).cast("double"), lit(1.0))
+    def occ(g: String): Column =
+      (length(col("text")) - length(replace(col("text"), lit(g), lit(""))))
+        .cast("double") / lit(g.codePointCount(0, g.length).toDouble)
+    val latin = LangCharProfiles.map { case (l, grams) =>
+      l -> (grams.map(occ).reduce(_ + _) / textLen)
+    }
+    val zh = "zh" ->
+      (length(regexp_replace(col("text"), NonHanClass, "")).cast("double") / textLen)
+    val ratios = latin :+ zh
     val best = greatest(ratios.map(_._2): _*)
     // First profile (in declaration order) hitting the max wins ties.
     val argmax = ratios.foldRight(lit("und"): Column) { case ((l, r), acc) =>
       when(r === best, lit(l)).otherwise(acc)
     }
     val guess = when(best >= LangThreshold, argmax).otherwise(lit("und"))
-    Tables.documents(spark, sfDir)
+    docs
       .select(Seq(col("doc_id"), col("lang")) ++
         ratios.map { case (l, r) => round(r, 4).as(s"${l}_ratio") } ++
         Seq(guess.as("lang_guess"), (col("lang") === guess).as("agrees")): _*)
-      .orderBy("doc_id")
   }
+
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    langIdOf(Tables.documents(spark, sfDir)).orderBy("doc_id")
 
   /** Content fingerprint: min over the 60-bit hashes of all character
     * 8-grams (a 1-permutation MinHash — the winnowing/rolling-hash
@@ -702,24 +735,28 @@ object TextAnalysis {
     "q_text_quality" ->
       s"""SELECT * FROM ($qualitySqlBody) ORDER BY doc_id""".stripMargin,
     "q_text_langid" -> {
-      val ratioExprs = LangProfiles.map { case (l, words) =>
-        val list = words.map(w => s"'$w'").mkString(", ")
-        s"CAST(len(list_filter(toks, t -> t IN ($list))) AS DOUBLE)\n           / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS $l"
-      }.mkString(",\n         ")
-      val langs = LangProfiles.map(_._1)
+      // Same formula, same evaluation order as langIdOf: per-gram
+      // occurrence counts via the length-difference trick, summed then
+      // divided by the char count; zh = Han-codepoint ratio.
+      val ratioExprs = LangCharProfiles.map { case (l, grams) =>
+        val occ = grams
+          .map(g => s"(length(text) - length(replace(text, '$g', ''))) * 1.0 / ${g.codePointCount(0, g.length)}")
+          .mkString("(", "\n            + ", ")")
+        s"$occ\n           / greatest(CAST(length(text) AS DOUBLE), 1.0) AS $l"
+      }.mkString(",\n         ") +
+        s""",
+           |         length(regexp_replace(text, '$NonHanClass', '', 'g')) * 1.0
+           |           / greatest(CAST(length(text) AS DOUBLE), 1.0) AS zh""".stripMargin
+      val langs = LangCharProfiles.map(_._1) :+ "zh"
       val best = s"greatest(${langs.mkString(", ")})"
       val argmax = langs.reverse.foldLeft("'und'") { (acc, l) =>
         s"CASE WHEN $l = $best THEN '$l' ELSE $acc END"
       }
       val guess = s"CASE WHEN $best >= $LangThreshold THEN $argmax ELSE 'und' END"
-      s"""WITH t AS (
-         |  SELECT doc_id, lang,
-         |         list_filter(string_split(text, ' '), t -> t != '') AS toks
-         |  FROM documents),
-         |m AS (
+      s"""WITH m AS (
          |  SELECT doc_id, lang,
          |         $ratioExprs
-         |  FROM t)
+         |  FROM documents)
          |SELECT doc_id, lang,
          |       ${langs.map(l => s"round($l, 4) AS ${l}_ratio").mkString(",\n       ")},
          |       $guess AS lang_guess,

@@ -161,11 +161,17 @@ object Streaming {
     * when the event-time watermark passes last-event + gap (timeout),
     * at which point the aggregate row is emitted and state freed.
     * Batch twin: `Relational.sessionize` (lag/cumsum session ids).
+    *
+    * `lateness` is the watermark delay (allowed event lateness). Note
+    * the straggler path below is reachable only when lateness exceeds
+    * [[SessionGapMs]] — with a shorter delay the operator's watermark
+    * filter drops anything old enough to predate the open session by
+    * more than the gap.
     */
-  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+  def sessionize(events: Dataset[Event], lateness: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
-      .withWatermark("ts", "10 minutes")
+      .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -178,21 +184,34 @@ object Streaming {
           } else {
             val sorted = rows.toSeq.sortBy(_.ts.getTime)
             var cur = state.getOption
+            // Open straggler session: late events (within watermark)
+            // older than the open session by more than the gap form
+            // their own earlier session(s). Consecutive in-batch
+            // stragglers within the gap MERGE — the batch twin would —
+            // and the chain can never reach the open session (only
+            // events < start - gap join it, so its end stays > gap
+            // away). It closes with the batch: stragglers split across
+            // DIFFERENT micro-batches still emit separately, since
+            // merging those would need an unbounded event buffer;
+            // pinned divergence from the batch twin.
+            var straggler: Option[SessionState] = None
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                // A late event (within watermark) older than the open
-                // session by more than the gap is its own earlier
-                // session in event-time order — emit it closed instead
-                // of corrupting the open session's span. (Two such
-                // stragglers arriving in DIFFERENT micro-batches each
-                // emit individually even if mutually within the gap —
-                // merging them would need an unbounded event buffer;
-                // pinned divergence from the batch twin.)
                 case Some(s) if t < s.start - SessionGapMs =>
-                  closed += Session(
-                    userId, new Timestamp(t), new Timestamp(t), 1, e.value)
+                  straggler match {
+                    case Some(st) if t - st.last <= SessionGapMs =>
+                      straggler = Some(st.copy(
+                        last = math.max(st.last, t), n = st.n + 1,
+                        total = st.total + e.value))
+                    case Some(st) =>
+                      closed += Session(userId,
+                        new Timestamp(st.start), new Timestamp(st.last), st.n, st.total)
+                      straggler = Some(SessionState(t, t, 1, e.value))
+                    case None =>
+                      straggler = Some(SessionState(t, t, 1, e.value))
+                  }
                 // Merging a late event can extend the session BACKWARD
                 // (t < start) as well as forward — keep start = min so
                 // session_start stays correct under reordering.
@@ -207,6 +226,10 @@ object Streaming {
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
               }
+            }
+            straggler.foreach { st =>
+              closed += Session(
+                userId, new Timestamp(st.start), new Timestamp(st.last), st.n, st.total)
             }
             cur.foreach { s =>
               state.update(s)

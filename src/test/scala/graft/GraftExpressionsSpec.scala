@@ -177,20 +177,33 @@ class GraftExpressionsSpec extends SparkSpec {
       assert(r.getLong(6) == r.getLong(7), "q_max")
       assert(bits(8) == bits(9), "mse")
     }
-    // Empty array -> null struct (array_max(empty) is null upstream).
+    // Empty array -> null struct. Deliberately NOT the HOF behavior:
+    // greatest(array_max(empty), 1e-12) skips the null and yields a
+    // fictitious scale=1e-12/127 / q_sum=0 / mse=0 row; stats of a
+    // zero-dim vector are undefined, so the kernel returns null (see
+    // QuantizeStats scaladoc).
     val empty = Seq(Array.empty[Float]).toDF("embedding")
       .select(ColumnShim.column(graft.expressions.QuantizeStats(
         ColumnShim.expression($"embedding"), 64)))
     assert(empty.head().isNullAt(0))
   }
 
-  test("CharNgramFingerprint matches the charShingles HOF pair, incl. short texts") {
+  test("CharNgramFingerprint matches the charShingles HOF pair, incl. short and non-BMP texts") {
     import org.apache.spark.sql.graft.ColumnShim
     val rnd = new scala.util.Random(31)
     val alphabet = "abcdefg hij"
+    // Supplementary-plane stress: emoji (U+1F600) and mathematical
+    // double-struck X (U+1D54F) are surrogate PAIRS in UTF-16 — a
+    // char-indexed slicer miscounts them and splits pairs; `substr`
+    // (the HOF side) counts code points.
+    val nonBmp = Seq(
+      "😀😀abcdefg😀hij",
+      "abc𝕏defghij𝕏",
+      "😀" * 12,         // pure emoji run
+      "😀short")         // non-BMP and < n code points
     val texts = (0 until 40).map { _ =>
       (0 until rnd.nextInt(60)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
-    } ++ Seq("", "short", "exactly8", "aaaaaaaaaaaa")
+    } ++ Seq("", "short", "exactly8", "aaaaaaaaaaaa") ++ nonBmp
     val df = texts.toDF("text")
     val fp = ColumnShim.column(graft.expressions.CharNgramFingerprint(
       ColumnShim.expression($"text"), 8))

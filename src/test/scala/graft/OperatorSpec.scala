@@ -167,6 +167,62 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("label propagation converges on a diameter-20 chain, off the clique happy path") {
+    // The LSH pair graph is clique unions (diameter <= ~4), so the
+    // production loop never runs deep. A path graph with the MIN id at
+    // one END forces one-hop-per-iteration propagation across the full
+    // diameter — exercising the iteration guard region and the
+    // per-iteration O(|E|) join shape far beyond the happy path.
+    val rnd = new scala.util.Random(7)
+    val others = rnd.shuffle((101L to 120L).toVector)
+    val pathNodes = 100L +: others // min id first -> worst-case spread
+    val chain = pathNodes.sliding(2).map { p =>
+      (math.min(p(0), p(1)), math.max(p(0), p(1)))
+    }.toSeq
+    // Plus a disjoint triangle to keep multiple components in play.
+    val tri = Seq((500L, 501L), (500L, 502L), (501L, 502L))
+    val pairs = (chain ++ tri).toDF("a_id", "b_id")
+    val out = Dedup.clusterPairsOf(pairs).collect()
+      .map(r => r.getAs[Long]("cluster") ->
+        (r.getAs[Long]("cluster_size"), r.getAs[String]("members"))).toMap
+    assert(out.keySet == Set(100L, 500L))
+    assert(out(100L)._1 == 21L)
+    assert(out(100L)._2 == (100L to 120L).mkString(","))
+    assert(out(500L)._1 == 3L)
+    // The chain genuinely ran deep: one extra iteration confirms
+    // convergence, so diameter 20 needs >= 20 passes, well past the
+    // clique regime yet safely under the 50-iteration guard.
+    assert(Dedup.lastPropagationIters > 5,
+      s"expected deep propagation, got ${Dedup.lastPropagationIters} iters")
+    assert(Dedup.lastPropagationIters < 50)
+  }
+
+  test("char-n-gram language ID identifies real multilingual text, including zh by script") {
+    // The driver corpus's lang column carries no textual signal (one
+    // shared ASCII vocabulary for every label), so the zh-capable
+    // detector is proven here on genuine text per language. zh relies
+    // on the Han-script profile — word lists can never fire on
+    // unspaced CJK.
+    val docs = Seq(
+      (1L, "en", "the quick brown fox and the lazy dog are running fast in the park"),
+      (2L, "fr", "le chat et le chien jouent dans le jardin pendant la nuit"),
+      (3L, "de", "der hund und die katze schlafen in der schule neben der kirche"),
+      (4L, "es", "el perro y el gato de la casa corren en la estación de madrid"),
+      (5L, "zh", "机器学习模型在大规模语料库上训练而且效果显著提升了很多任务"),
+      (6L, "und", "zzz qqq vvv")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.langIdOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    Seq(1L -> "en", 2L -> "fr", 3L -> "de", 4L -> "es", 5L -> "zh", 6L -> "und")
+      .foreach { case (id, l) =>
+        assert(out(id).getAs[String]("lang_guess") == l, s"doc $id")
+        assert(out(id).getAs[Boolean]("agrees"), s"doc $id agrees")
+      }
+    // The zh doc is (almost) pure Han script; the latin profiles see 0.
+    assert(out(5L).getAs[Double]("zh_ratio") > 0.9)
+    assert(out(5L).getAs[Double]("en_ratio") == 0.0)
+  }
+
   // --- similarity invariants -------------------------------------------
 
   test("brute-force top-k: k rows per query, ranks contiguous, scores non-increasing") {

@@ -71,6 +71,42 @@ class SinksSpec extends SparkSpec {
     assert(byId(2L).getDouble(merged.columns.indexOf("v2_added")) == 9.5)
   }
 
+  test("MySQL dialect maps the TB_VENDAS gold schema to the expected DDL types") {
+    // The reference's real sink is MySQL (`s2g/vendas.py:173-180`,
+    // BD_STACK.TB_VENDAS); no MySQL server or driver exists offline,
+    // but the DDL Spark would generate is decided locally by the
+    // registered MySQLDialect + the common JDBC fallback — pin that
+    // type mapping for the actual gold mart schema so the one
+    // environment-blocked surface is still contract-tested.
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.types._
+    val dialect = JdbcDialects.get("jdbc:mysql://db:3306/BD_STACK")
+    // Mirrors JdbcUtils.getJdbcType: dialect override, else the common
+    // JDBC type (the exact pairs Spark uses for these Catalyst types).
+    def ddl(dt: DataType): String =
+      dialect.getJDBCType(dt).map(_.databaseTypeDefinition).getOrElse(dt match {
+        case LongType => "BIGINT"
+        case IntegerType => "INTEGER"
+        case DoubleType => "DOUBLE PRECISION"
+        case DateType => "DATE"
+        case other => fail(s"unexpected gold mart type $other")
+      })
+    val schema = graft.operators.VendasMart.mart(spark, "/root/testdata/sf0.001").schema
+    val m = schema.fields.map(f => f.name -> ddl(f.dataType)).toMap
+    assert(m("PEDIDO") == "BIGINT")
+    assert(m("DATA_VENDA") == "DATE") // to_date cast survives as SQL DATE
+    // Money columns land as DOUBLE PRECISION (MySQL accepts the ANSI
+    // alias), matching pandas to_sql's DOUBLE for float64.
+    Seq("VALOR_VENDA", "VALOR_DESCONTO", "VALOR_CLICK", "VALOR_ERROR",
+      "VALOR_PURCHASE", "VALOR_SIGNUP", "VALOR_VIEW").foreach { c =>
+      assert(m(c) == "DOUBLE PRECISION", c)
+    }
+    // SPARK-34333: the MySQL dialect maps StringType to LONGTEXT.
+    Seq("CATEGORIA_PRODUTO", "SEGMENTO_CLIENTE").foreach { c =>
+      assert(m(c) == "LONGTEXT", c)
+    }
+  }
+
   test("partition-key predicates prune at the scan (PartitionFilters)") {
     val path = tmpDir("gold_part2") + "/mart"
     Sinks.partitionedParquet(

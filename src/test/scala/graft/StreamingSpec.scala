@@ -94,6 +94,35 @@ class StreamingSpec extends SparkSpec {
     assert(first.getAs[Double]("total_value") == 3.0)
   }
 
+  test("same-batch stragglers within the gap merge into one session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // 2-hour allowed lateness: events predating the open session by
+    // more than the 30-min gap survive the operator's watermark filter
+    // (with the default 10-min delay the straggler path is unreachable).
+    val q = Streaming.sessionize(mem.toDS(), lateness = "2 hours")
+      .writeStream.format("memory").queryName("straggler_merge")
+      .outputMode("append").start()
+    mem.addData(Event(1L, Timestamp.valueOf("2024-05-01 12:00:00"), "e", 1.0))
+    q.processAllAvailable()
+    // Watermark is now 10:00. The open session starts at 12:00, so
+    // anything before 11:30 is a straggler; these two are mutually
+    // within the gap and arrive in ONE micro-batch -> one merged
+    // session (the batch twin would merge them too).
+    mem.addData(
+      Event(1L, Timestamp.valueOf("2024-05-01 10:30:00"), "e", 2.0),
+      Event(1L, Timestamp.valueOf("2024-05-01 10:40:00"), "e", 3.0))
+    q.processAllAvailable()
+    val rows = spark.table("straggler_merge").collect()
+    q.stop()
+    assert(rows.length == 1)
+    val s = rows(0)
+    assert(s.getAs[Timestamp]("session_start") == Timestamp.valueOf("2024-05-01 10:30:00"))
+    assert(s.getAs[Timestamp]("session_end") == Timestamp.valueOf("2024-05-01 10:40:00"))
+    assert(s.getAs[Long]("n_events") == 2)
+    assert(s.getAs[Double]("total_value") == 5.0)
+  }
+
   test("streaming exact dedup: dropDuplicates within watermark emits each key once") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
