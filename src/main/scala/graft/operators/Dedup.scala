@@ -500,45 +500,58 @@ object Dedup {
     *
     * Here the split is simulated on the one documents table
     * (doc_id < 250 = corpus, >= 250 = batch). A newcomer is rejected
-    * if its text matches a corpus doc exactly, or if it shares a
-    * MinHash band bucket with a corpus doc AND ≥ 8/16 signature slots
-    * agree. Cost shape: batch-side hashing is O(|batch|); the band
-    * join touches only colliding buckets of the corpus index.
+    * if its content fingerprint matches a corpus doc (the 16-byte
+    * exact-dup shuffle of [[exactByFingerprint]] — never the full
+    * text), or if it shares a MinHash band bucket with a corpus doc
+    * AND ≥ 8/16 signature slots agree. Cost shape: the batch is
+    * hashed EXACTLY once (O(|batch|), pinned by an eager local
+    * checkpoint of the 17-long-per-doc signature frame — bands and
+    * the agree filter both read it); the corpus side reads the
+    * persisted [[minHashSignatures]] index; the band join touches
+    * only colliding buckets.
     */
   def incremental(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val corpus = docs.filter(col("doc_id") < 250)
     val batch = docs.filter(col("doc_id") >= 250)
 
-    val exactHit = batch.as("b")
-      .join(corpus.as("c"), col("b.text") === col("c.text"), "left_semi")
+    val exactHit = batch
+      .select(col("doc_id"), hash60(col("text")).as("fp60"))
+      .join(docs.filter(col("doc_id") < 250)
+        .select(hash60(col("text")).as("fp60")), Seq("fp60"), "left_semi")
       .select(col("doc_id"))
 
-    def banded(sig: DataFrame): DataFrame = {
+    // Band rows CARRY their 16 signature slots (the classic LSH-table
+    // layout: bucket entries store the signature), so one (band,
+    // bucket) equi-join yields candidates with both signatures inline
+    // and the agree filter runs right on the join output — no pair
+    // distinct, no signature re-joins. Trade-off vs the narrow
+    // (band, bucket, id) join + index-lookup shape: the band shuffle
+    // carries 136 B/row instead of ~24 B, but drops three exchanges —
+    // the right trade for a 16-slot signature (it would flip for
+    // kilobyte sketches).
+    def banded(sig: DataFrame, p: String): DataFrame = {
       val bandKeys = (0 until NumBands).map { bnd =>
         val slots = (0 until BandRows).map(r => col(s"m${bnd * BandRows + r}"))
         md5(concat_ws(",", slots: _*))
       }
-      sig.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
+      sig.select(col("doc_id").as(s"${p}_id") +:
+        (0 until NumHashes).map(i => col(s"m$i").as(s"$p$i")) :+
+        posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")): _*)
     }
-    // The batch is hashed fresh (the O(|batch|) daily cost); the corpus
-    // side comes off the persisted signature index — never re-hashed.
-    val sigB = minHashSignaturesOf(batch)
+    // The batch is hashed fresh (the O(|batch|) daily cost) — once:
+    // without the checkpoint, rebuilding the plan tree would recompute
+    // the signature kernel per reference. The corpus side comes off
+    // the persisted signature index — never re-hashed.
+    val sigB = minHashSignaturesOf(batch).localCheckpoint()
     val sigC = minHashSignatures(spark, sfDir).filter(col("doc_id") < 250)
     val agree = (0 until NumHashes)
-      .map(i => when(col(s"bm$i") === col(s"cm$i"), 1).otherwise(0))
+      .map(i => when(col(s"b$i") === col(s"c$i"), 1).otherwise(0))
       .reduce(_ + _)
-    val nearHit = banded(sigB).as("x")
-      .join(banded(sigC).as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
-      .select(col("x.doc_id").as("b_id"), col("y.doc_id").as("c_id"))
-      .distinct()
-      .join(sigB.select(col("doc_id").as("b_id") +:
-        (0 until NumHashes).map(i => col(s"m$i").as(s"bm$i")): _*), Seq("b_id"))
-      .join(sigC.select(col("doc_id").as("c_id") +:
-        (0 until NumHashes).map(i => col(s"m$i").as(s"cm$i")): _*), Seq("c_id"))
+    val nearHit = banded(sigB, "b")
+      .join(banded(sigC, "c"), Seq("band", "bucket"))
       .filter(agree >= NumHashes / 2)
       .select(col("b_id").as("doc_id"))
+      .distinct()
 
     batch.select("doc_id")
       .join(exactHit.unionByName(nearHit).distinct()
@@ -732,8 +745,12 @@ object Dedup {
         .mkString(" + ")
       s"""WITH $minhashPairCtes,
          |hit_exact AS (
-         |  SELECT DISTINCT b.doc_id FROM documents b JOIN documents c
-         |    ON b.text = c.text AND b.doc_id >= 250 AND c.doc_id < 250),
+         |  SELECT DISTINCT b.doc_id
+         |  FROM (SELECT doc_id, ${h60.format("text")} AS fp60
+         |        FROM documents WHERE doc_id >= 250) b
+         |  JOIN (SELECT ${h60.format("text")} AS fp60
+         |        FROM documents WHERE doc_id < 250) c
+         |    ON b.fp60 = c.fp60),
          |xcand AS (
          |  SELECT DISTINCT x.doc_id AS b_id, y.doc_id AS c_id
          |  FROM bands x JOIN bands y

@@ -280,7 +280,11 @@ object Relational {
       .select(col("user_id"), col("h"),
         round(col("filled"), 4).as("value_ffill"),
         col("v").isNull.as("was_gap"))
-      .orderBy("user_id", "h")
+    // No trailing global orderBy: the output is already hour-ordered
+    // WITHIN each user partition (the ffill window sorted it), the
+    // correctness driver sorts rows before hashing, and a global sort
+    // of the largest query output (105 k rows at sf0.01) would add a
+    // range exchange for pure cosmetics — the vendas_mart rationale.
   }
 
   /** Sessionization (gaps-and-islands): 30-minute inactivity gap starts

@@ -31,6 +31,12 @@ class ExplainSpec extends SparkSpec {
     // Join strategy: all dimension joins broadcast; no sort-merge join.
     assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins")
     assert(!plan.contains("SortMergeJoin"), "mart must not sort-merge at test scale")
+    // No trailing determinism sort: a global orderBy would plan a
+    // range-partitioning exchange + sort — half the query's cost under
+    // the honest action, and nothing downstream needs it (see
+    // VendasMart.mart note).
+    assert(!plan.contains("Exchange rangepartitioning"),
+      "mart must not globally sort its output")
   }
 
   test("pivot carries the explicit value list (no distinct-discovery job)") {
