@@ -85,6 +85,28 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("incremental admission reads the persisted signature index, not a fresh corpus hash") {
+    // The corpus side of q_dedup_incremental must come off the
+    // memoized signature frame (InMemoryTableScan) and the batch side
+    // off its one-time checkpoint — the served plan may not contain a
+    // live MinHash kernel (graft_minhash) anywhere: a fresh
+    // minHashSignaturesOf in the lineage would re-hash the corpus on
+    // every run (the r3 regression).
+    graft.operators.Dedup.minHashSignatures(spark, sf).count() // build the index
+    val plan = graft.operators.Dedup.incremental(spark, sf)
+      .queryExecution.executedPlan.toString()
+    val imts = plan.indexOf("InMemoryTableScan")
+    assert(imts >= 0,
+      "corpus side must scan the persisted signature index:\n" + plan.take(1500))
+    assert(plan.contains("Scan ExistingRDD"),
+      "batch side must read its one-time checkpoint:\n" + plan.take(1500))
+    // The LIVE operator tree sits above the InMemoryTableScan; the
+    // kernel may appear below it only as the cached relation's
+    // build-plan description (what a cache miss would recompute).
+    assert(!plan.substring(0, imts).contains("graft_minhash"),
+      "no live signature kernel in the served plan:\n" + plan.take(1500))
+  }
+
   test("re-derived MinHash pair plans substitute the cached fragment") {
     // Materialize the cache via the pairs query; any later derivation
     // of the same logical subtree (what clustering/survivors/best-keep
