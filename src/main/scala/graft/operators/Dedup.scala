@@ -92,11 +92,19 @@ object Dedup {
       .select(col("keep_id"), col("n_copies"), col("fp60"))
       .orderBy("keep_id")
 
-  /** Distinct (doc_id, 3-gram shingle) pairs — the inverted index all
-    * near-dup tiers build on.
+  /** Distinct (doc_id, 3-gram shingle FINGERPRINT) pairs — the
+    * inverted index the Jaccard verifier and the boilerplate-coverage
+    * query build on. The gram is stored as its 60-bit hash, not the
+    * string: every consumer uses it only as a join/aggregation key, so
+    * the index shuffles 16 B/row instead of the gram text — the same
+    * fingerprint-shuffle discipline as [[exactByFingerprint]], with
+    * the same astronomically-small collision tradeoff. The oracle
+    * hashes with the identical md5-derived function, so both engines
+    * agree bit-for-bit even on a collision.
     */
   def shingleIndexOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(shingleSet(col("text"), 3)).as("s"))
+      .select(col("doc_id"), hash60(col("s")).as("g60"))
 
   private val shingleIndexCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -151,12 +159,12 @@ object Dedup {
     // `common` counts are unchanged because any shared shingle has
     // df ≥ 2 by definition. The df aggregate and the semi-join both
     // key on `s`, so the exchange is computed once and reused.
-    val shared = ex.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select("s")
-    val exs = ex.join(shared, Seq("s"), "left_semi")
-    val a = exs.select(col("doc_id").as("a_id"), col("s"))
-    val b = exs.select(col("doc_id").as("b_id"), col("s"))
-    val common = a.join(b, Seq("s")).filter(col("a_id") < col("b_id"))
+    val shared = ex.groupBy("g60").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("g60")
+    val exs = ex.join(shared, Seq("g60"), "left_semi")
+    val a = exs.select(col("doc_id").as("a_id"), col("g60"))
+    val b = exs.select(col("doc_id").as("b_id"), col("g60"))
+    val common = a.join(b, Seq("g60")).filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
     common
       .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
@@ -682,10 +690,11 @@ object Dedup {
          |GROUP BY fp60 ORDER BY keep_id""".stripMargin,
     "q_dedup_jaccard" ->
       s"""WITH $shingleCte,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+         |exh AS (SELECT doc_id, ${h60.format("s")} AS g60 FROM ex),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM exh GROUP BY doc_id),
          |pairs AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
-         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  FROM exh a JOIN exh b ON a.g60 = b.g60 AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT a_id, b_id,
          |       round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard

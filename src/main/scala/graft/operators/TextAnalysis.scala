@@ -345,7 +345,7 @@ object TextAnalysis {
     */
   def boilerplate(spark: SparkSession, sfDir: String, minDf: Int = 3): DataFrame = {
     val ex = Dedup.shingleIndex(spark, sfDir)
-      .select(col("doc_id"), col("s").as("g"))
+      .select(col("doc_id"), col("g60").as("g"))
     val df = ex.groupBy("g").agg(countDistinct("doc_id").as("df"))
     ex.join(df, Seq("g"))
       .groupBy("doc_id")
@@ -640,13 +640,16 @@ object TextAnalysis {
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS tk
         |  FROM documents),
-        |ex AS (
+        |ex0 AS (
         |  SELECT DISTINCT doc_id,
         |         unnest(CASE WHEN len(tk) >= 3
         |                THEN list_transform(range(1, len(tk) - 1),
         |                     i -> array_to_string(list_slice(tk, i, i + 2), ' '))
         |                ELSE [] END) AS g
         |  FROM toks),
+        |ex AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS g
+        |  FROM ex0),
         |d AS (SELECT g, count(DISTINCT doc_id) AS df FROM ex GROUP BY g)
         |SELECT ex.doc_id, count(*) AS n_grams,
         |       CAST(sum(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,

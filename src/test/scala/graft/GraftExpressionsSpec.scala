@@ -123,8 +123,10 @@ class GraftExpressionsSpec extends SparkSpec {
     val h = col("h")
     val mins = (0 until Dedup.NumHashes).map(i =>
       min((lit(Dedup.hashA(i)) * h + lit(Dedup.hashB(i))) % TextFns.MinHashPrime).as(s"m$i"))
+    // The index stores the gram's hash60 (g60) — the permutation input
+    // is g60 % p, identical to hashing the string directly.
     val oldMh = Dedup.shingleIndexOf(docs)
-      .withColumn("h", TextFns.hash60(col("s")) % TextFns.MinHashPrime)
+      .withColumn("h", col("g60") % TextFns.MinHashPrime)
       .groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .collect().map(r => r.getLong(0) -> (1 until r.length).map(r.getLong).toSeq).toMap
     val newMh = Dedup.minHashSignaturesOf(docs)
