@@ -374,8 +374,13 @@ object TextAnalysis {
   def contamination(spark: SparkSession, sfDir: String, n: Int = 5): DataFrame = {
     val bucket = hash60(col("text")) % 100
     val split = when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    // Grams join/count as 60-bit fingerprints (the shingle-index
+    // discipline): the cross-split equi-join shuffles 16 B keys, never
+    // 5-gram text; both engines hash identically so the oracle stays
+    // in lockstep.
     val ex = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split.as("split"), explode(shingleSet(col("text"), n)).as("g"))
+      .select(col("doc_id"), split.as("split"), explode(shingleSet(col("text"), n)).as("g0"))
+      .select(col("doc_id"), col("split"), hash60(col("g0")).as("g"))
     val test = ex.filter(col("split") === "test").select(col("doc_id"), col("g"))
     val train = ex.filter(col("split") === "train")
       .select(col("doc_id").as("train_id"), col("g"))
@@ -665,13 +670,16 @@ object TextAnalysis {
         |              ELSE 'test' END AS split,
         |         list_filter(string_split(text, ' '), x -> x != '') AS tk
         |  FROM documents),
-        |ex AS (
+        |ex0 AS (
         |  SELECT DISTINCT doc_id, split,
         |         unnest(CASE WHEN len(tk) >= 5
         |                THEN list_transform(range(1, len(tk) - 3),
         |                     i -> array_to_string(list_slice(tk, i, i + 4), ' '))
         |                ELSE [] END) AS g
-        |  FROM t)
+        |  FROM t),
+        |ex AS (
+        |  SELECT doc_id, split, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS g
+        |  FROM ex0)
         |SELECT te.doc_id,
         |       count(DISTINCT tr.doc_id) AS n_train_docs,
         |       count(DISTINCT te.g) AS n_shared_grams
