@@ -85,6 +85,20 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("top-k plans stay distributed: partial WindowGroupLimit and TakeOrderedAndProject") {
+    // Top-5-per-group must push a PARTIAL group limit below the
+    // exchange (map-side top-k; the shuffle carries <= k rows per
+    // group per partition) — without it, 3 partitions would absorb
+    // the whole table at scale. Global top-100 must plan
+    // TakeOrderedAndProject (per-partition heaps), never a full sort.
+    val rankPlan = planOf(Relational.windowRank(spark, sf))
+    assert(rankPlan.contains("WindowGroupLimit"), rankPlan.take(1500))
+    assert(rankPlan.contains("Partial"),
+      "group limit must run map-side before the exchange:\n" + rankPlan.take(1500))
+    val sortPlan = planOf(Relational.sortLimit(spark, sf))
+    assert(sortPlan.contains("TakeOrderedAndProject"), sortPlan.take(1500))
+  }
+
   test("incremental admission reads the persisted signature index, not a fresh corpus hash") {
     // The corpus side of q_dedup_incremental must come off the
     // memoized signature frame (InMemoryTableScan) and the batch side
