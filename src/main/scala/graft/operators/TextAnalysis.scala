@@ -182,6 +182,28 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** BPE merge-candidate induction — the first iteration of byte-pair
+    * vocabulary training: count every adjacent character pair inside
+    * whitespace tokens (occurrence-weighted, not per-type) and emit
+    * the top candidates; the highest-count pair is the first merge a
+    * BPE trainer would perform. Shape: two map-side explodes (token,
+    * then its char bigrams via [[graft.functions.TextFns.charShingles]])
+    * into one pair-keyed aggregate — the pair vocabulary is tiny, so
+    * map-side combine collapses counts before the shuffle and the
+    * shuffle carries O(|pairs| × partitions) rows regardless of corpus
+    * size. Iterating BPE (re-segment, recount) repeats this same plan
+    * per merge step.
+    */
+  def bpeMerges(spark: SparkSession, sfDir: String, topK: Int = 20): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(toksCol).as("t"))
+      .filter(length(col("t")) >= 2)
+      .select(explode(graft.functions.TextFns.charShingles(col("t"), 2)).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+
   /** Corpus filtering by quality score — the C4/Gopher-style "keep
     * documents above the bar" step downstream of [[qualityScore]].
     * Emits survivors with their scores; the filter is the same scoring
@@ -504,7 +526,8 @@ object TextAnalysis {
     "q_text_langid" -> (langId _),
     "q_text_fingerprint" -> (fingerprint _),
     "q_text_term_freq" -> (termFreq _),
-    "q_text_bigrams" -> (bigramStats _))
+    "q_text_bigrams" -> (bigramStats _),
+    "q_text_bpe_merges" -> ((s: SparkSession, d: String) => bpeMerges(s, d)))
 
   private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -786,6 +809,15 @@ object TextAnalysis {
         |         g -> CAST('0x' || substr(md5(g), 1, 15) AS BIGINT))) AS fp60,
         |       CAST(len(list_distinct(grams)) AS INT) AS n_distinct_8grams
         |FROM g ORDER BY doc_id""".stripMargin,
+    "q_text_bpe_merges" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> t != '')) AS t
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, length(t)), i -> substr(t, i, 2))) AS pair
+        |  FROM tok WHERE length(t) >= 2)
+        |SELECT pair, count(*) AS n FROM pairs
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "q_text_term_freq" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != '')) AS term

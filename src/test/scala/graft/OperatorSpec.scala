@@ -167,6 +167,23 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("BPE merge candidates count occurrence-weighted adjacent pairs") {
+    // "low low lower": 'lo' and 'ow' appear in all three tokens
+    // (occurrence-weighted, so 3 each); 'we'/'er' only in "lower".
+    val docs = Seq((1L, "en", "low low lower")).toDF("doc_id", "lang", "text")
+    // Route through the registered query on a scratch corpus layout.
+    val dir = tmpDir("bpe")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.bpeMerges(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("lo") == 3L)
+    assert(out("ow") == 3L)
+    assert(out("we") == 1L)
+    assert(out("er") == 1L)
+    // Total pair occurrences = sum over tokens of (len - 1).
+    assert(out.values.sum == 2 + 2 + 4)
+  }
+
   test("label propagation converges on a diameter-20 chain, off the clique happy path") {
     // The LSH pair graph is clique unions (diameter <= ~4), so the
     // production loop never runs deep. A path graph with the MIN id at
