@@ -594,6 +594,32 @@ object Dedup {
       .orderBy("cluster")
   }
 
+  /** The dedup funnel in one row — the audit dashboard a corpus
+    * pipeline publishes with every snapshot: how many documents came
+    * in, how many exact-duplicate groups they collapse to, how many
+    * near-dup pairs/clusters the LSH tier found, and how many
+    * documents survive both tiers. Pure composition of the memoized
+    * indexes (five tiny aggregates broadcast-joined into one row);
+    * at 100 TB every input is an already-persisted index frame, so
+    * the funnel costs five index scans.
+    */
+  def funnelStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val nGroups = docs.agg(countDistinct("text").as("n_exact_groups"))
+    val nPairs = minHashPairs(spark, sfDir).agg(count(lit(1)).as("n_near_pairs"))
+    val clusters = nearDupClusters(spark, sfDir)
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("cluster_size").cast("long").as("n_clustered_docs"))
+    val nSurv = survivors(spark, sfDir).agg(count(lit(1)).as("n_survivors"))
+    nDocs.crossJoin(broadcast(nGroups)).crossJoin(broadcast(nPairs))
+      .crossJoin(broadcast(clusters)).crossJoin(broadcast(nSurv))
+      .select(col("n_docs"), col("n_exact_groups"),
+        (col("n_docs") - col("n_exact_groups")).as("n_exact_dups"),
+        col("n_near_pairs"), col("n_clusters"), col("n_clustered_docs"),
+        col("n_survivors"))
+  }
+
   /** Materialize every memoized index frame (shingle inverted index,
     * MinHash signatures, LSH pair set, cluster assignment) up front —
     * the "build the persisted indexes" step a production pipeline runs
@@ -619,7 +645,8 @@ object Dedup {
     "q_dedup_verified" -> (lshVerified _),
     "q_dedup_simhash" -> (simHashPairs _),
     "q_dedup_embed" -> (embeddingPairs _),
-    "q_dedup_cluster" -> (nearDupClusters _))
+    "q_dedup_cluster" -> (nearDupClusters _),
+    "q_dedup_funnel" -> (funnelStats _))
 
   // ---- DuckDB oracles -------------------------------------------------
   // Shared SQL fragments, generated from the same constants as the
@@ -808,6 +835,29 @@ object Dedup {
          |SELECT cluster, count(*) AS cluster_size,
          |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
          |FROM lab GROUP BY cluster ORDER BY cluster""".stripMargin,
+    "q_dedup_funnel" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |bi AS (
+         |  SELECT a_id AS src, b_id AS dst FROM mh_pairs
+         |  UNION ALL SELECT b_id, a_id FROM mh_pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM bi),
+         |reach(id, label) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT bi.dst, r.label FROM reach r JOIN bi ON bi.src = r.id),
+         |lab AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+         |exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |non_canon AS (SELECT id AS doc_id FROM lab WHERE id <> cluster)
+         |SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |       (SELECT count(DISTINCT text) FROM documents) AS n_exact_groups,
+         |       (SELECT count(*) FROM documents)
+         |         - (SELECT count(DISTINCT text) FROM documents) AS n_exact_dups,
+         |       (SELECT count(*) FROM mh_pairs) AS n_near_pairs,
+         |       (SELECT count(DISTINCT cluster) FROM lab) AS n_clusters,
+         |       (SELECT count(*) FROM lab) AS n_clustered_docs,
+         |       (SELECT count(*) FROM documents d
+         |        WHERE d.doc_id IN (SELECT doc_id FROM exact_keep)
+         |          AND d.doc_id NOT IN (SELECT doc_id FROM non_canon)) AS n_survivors""".stripMargin,
     "q_dedup_simhash" -> {
       val h = h60.format("tok")
       val bandMask = (1L << SimHashBandBits) - 1
