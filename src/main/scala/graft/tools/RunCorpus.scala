@@ -19,7 +19,9 @@ import graft.sources.Sinks
   *   quality/     per-doc quality scores (TextAnalysis.qualityScore)
   *   packs/       per-shard sequence-pack manifest of the cleaned,
   *                quality-gated corpus (TextAnalysis.corpusPipeline)
-  *   audit/       dedup pair counts + split/mix/contamination stats
+  *   audit/       split/contamination stats
+  *   funnel/      the one-row dedup funnel (docs → exact groups →
+  *                near pairs → clusters → survivors, Dedup.funnelStats)
   *
   * Every stage is the same oracle-verified operator the library
   * exposes; this entry only sequences and persists them. Roots may be
@@ -38,13 +40,12 @@ object RunCorpus {
       Sinks.parquet(Dedup.survivors(spark, docsDir), s"$outRoot/survivors")
       Sinks.parquet(TextAnalysis.qualityScore(spark, docsDir), s"$outRoot/quality")
       Sinks.parquet(TextAnalysis.corpusPipeline(spark, docsDir), s"$outRoot/packs")
-      val audit = Dedup.minHashLsh(spark, docsDir)
-        .selectExpr("count(*) AS near_dup_pairs")
-        .crossJoin(TextAnalysis.corpusSplit(spark, docsDir)
-          .selectExpr("sum(n_docs) AS n_docs_total"))
+      val audit = TextAnalysis.corpusSplit(spark, docsDir)
+        .selectExpr("sum(n_docs) AS n_docs_total")
         .crossJoin(TextAnalysis.contamination(spark, docsDir)
           .selectExpr("count(*) AS contaminated_test_docs"))
       Sinks.parquet(audit, s"$outRoot/audit")
+      Sinks.parquet(Dedup.funnelStats(spark, docsDir), s"$outRoot/funnel")
       println(s"CORPUS OK docs=$docsDir out=$outRoot")
     } finally spark.stop()
   }
