@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 import graft.sources.TableSpec
 
@@ -182,61 +183,134 @@ object Streaming {
             Iterator.single(Session(
               userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var cur = state.getOption
-            // Open straggler session: late events (within watermark)
-            // older than the open session by more than the gap form
-            // their own earlier session(s). Consecutive in-batch
-            // stragglers within the gap MERGE — the batch twin would —
-            // and the chain can never reach the open session (only
-            // events < start - gap join it, so its end stays > gap
-            // away). It closes with the batch: stragglers split across
-            // DIFFERENT micro-batches still emit separately, since
-            // merging those would need an unbounded event buffer;
-            // pinned divergence from the batch twin.
-            var straggler: Option[SessionState] = None
-            val closed = Seq.newBuilder[Session]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t < s.start - SessionGapMs =>
-                  straggler match {
-                    case Some(st) if t - st.last <= SessionGapMs =>
-                      straggler = Some(st.copy(
-                        last = math.max(st.last, t), n = st.n + 1,
-                        total = st.total + e.value))
-                    case Some(st) =>
-                      closed += Session(userId,
-                        new Timestamp(st.start), new Timestamp(st.last), st.n, st.total)
-                      straggler = Some(SessionState(t, t, 1, e.value))
-                    case None =>
-                      straggler = Some(SessionState(t, t, 1, e.value))
-                  }
-                // Merging a late event can extend the session BACKWARD
-                // (t < start) as well as forward — keep start = min so
-                // session_start stays correct under reordering.
-                case Some(s) if t - s.last <= SessionGapMs =>
-                  cur = Some(s.copy(start = math.min(s.start, t),
-                    last = math.max(s.last, t), n = s.n + 1,
-                    total = s.total + e.value))
-                case Some(s) =>
-                  closed += Session(
-                    userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
-            }
-            straggler.foreach { st =>
-              closed += Session(
-                userId, new Timestamp(st.start), new Timestamp(st.last), st.n, st.total)
-            }
+            val (closed, cur) = mergeBatch(userId, rows, state.getOption)
             cur.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.last + SessionGapMs)
             }
-            closed.result().iterator
+            closed.iterator
           }
       }
+  }
+
+  /** One micro-batch of gap-sessionization for a single user: merge
+    * the batch's events into the open session (if any), emitting every
+    * session the batch closes; returns the still-open session to
+    * store. Shared verbatim by the flatMapGroupsWithState path and the
+    * transformWithState path so the two APIs can never drift.
+    *
+    * Straggler handling: late events (within watermark) older than the
+    * open session by more than the gap form their own earlier
+    * session(s). Consecutive in-batch stragglers within the gap MERGE
+    * — the batch twin would — and the chain can never reach the open
+    * session (only events < start - gap join it, so its end stays >
+    * gap away). Straggler sessions close with the batch: stragglers
+    * split across DIFFERENT micro-batches still emit separately, since
+    * merging those would need an unbounded event buffer; pinned
+    * divergence from the batch twin.
+    */
+  private def mergeBatch(userId: Long, rows: Iterator[Event],
+      open: Option[SessionState]): (Seq[Session], Option[SessionState]) = {
+    val sorted = rows.toSeq.sortBy(_.ts.getTime)
+    var cur = open
+    var straggler: Option[SessionState] = None
+    val closed = Seq.newBuilder[Session]
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t < s.start - SessionGapMs =>
+          straggler match {
+            case Some(st) if t - st.last <= SessionGapMs =>
+              straggler = Some(st.copy(
+                last = math.max(st.last, t), n = st.n + 1,
+                total = st.total + e.value))
+            case Some(st) =>
+              closed += Session(userId,
+                new Timestamp(st.start), new Timestamp(st.last), st.n, st.total)
+              straggler = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              straggler = Some(SessionState(t, t, 1, e.value))
+          }
+        // Merging a late event can extend the session BACKWARD
+        // (t < start) as well as forward — keep start = min so
+        // session_start stays correct under reordering.
+        case Some(s) if t - s.last <= SessionGapMs =>
+          cur = Some(s.copy(start = math.min(s.start, t),
+            last = math.max(s.last, t), n = s.n + 1,
+            total = s.total + e.value))
+        case Some(s) =>
+          closed += Session(
+            userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+          cur = Some(SessionState(t, t, 1, e.value))
+        case None =>
+          cur = Some(SessionState(t, t, 1, e.value))
+      }
+    }
+    straggler.foreach { st =>
+      closed += Session(
+        userId, new Timestamp(st.start), new Timestamp(st.last), st.n, st.total)
+    }
+    (closed.result(), cur)
+  }
+
+  /** Gap-sessionization on the Spark 4 arbitrary-state API
+    * (`transformWithState`) — the modern successor to
+    * flatMapGroupsWithState: explicit named [[ValueState]] plus
+    * event-time TIMERS instead of a single implicit state slot with
+    * one timeout. Semantics are identical to [[sessionize]] (the merge
+    * body is shared), and the timer protocol generalizes: each batch
+    * re-registers a timer at `last + gap`; a firing timer closes the
+    * session only if it is not stale (the session may have been
+    * extended since the timer was set, in which case the newer timer
+    * owns the close). Requires the RocksDB state store provider —
+    * transformWithState rejects the default HDFS-backed store — which
+    * is also the right store at scale (changelog checkpointing, state
+    * larger than executor heap).
+    */
+  class SessionProcessor extends StatefulProcessor[Long, Event, Session] {
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[Session] = {
+      val open = if (state.exists()) Some(state.get()) else None
+      val (closed, cur) = mergeBatch(userId, rows, open)
+      cur.foreach { s =>
+        state.update(s)
+        getHandle.registerTimer(s.last + SessionGapMs)
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] = {
+      if (!state.exists()) Iterator.empty
+      else {
+        val s = state.get()
+        // A stale timer: the session was extended after this timer was
+        // registered — the re-registered timer at last + gap will
+        // close it.
+        if (expiredTimerInfo.getExpiryTimeInMs < s.last + SessionGapMs) Iterator.empty
+        else {
+          state.clear()
+          Iterator.single(Session(
+            userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))
+        }
+      }
+    }
+  }
+
+  /** [[sessionize]] re-expressed on transformWithState — see
+    * [[SessionProcessor]].
+    */
+  def sessionizeTws(events: Dataset[Event], lateness: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor, TimeMode.EventTime(), OutputMode.Append())
   }
 }

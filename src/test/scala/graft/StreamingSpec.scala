@@ -94,6 +94,62 @@ class StreamingSpec extends SparkSpec {
     assert(first.getAs[Double]("total_value") == 3.0)
   }
 
+  test("transformWithState sessionizer agrees with the batch sessionization") {
+    import org.apache.spark.sql.expressions.Window
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider;
+    // scope it to this query and restore the session default after.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rnd = new scala.util.Random(5)
+      val base = Timestamp.valueOf("2024-06-01 00:00:00").getTime
+      val events = (1 to 90).map { i =>
+        val user = (i % 3 + 1).toLong
+        val t = base + (i / 3) * 5 * 60 * 1000L +
+          (if (rnd.nextInt(8) == 0) 2 * 60 * 60 * 1000L else 0L) + user * 1000L
+        Event(user, new Timestamp(t), "e", 1.0)
+      }.sortBy(_.ts.getTime)
+
+      val byUser = Window.partitionBy("user_id").orderBy("ts")
+      val gapMs = Streaming.SessionGapMs
+      val batch = events.toDF()
+        .withColumn("prev", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev").isNull ||
+            unix_micros(col("ts")) - col("prev") > gapMs * 1000, 1).otherwise(0))
+        .withColumn("sess", sum("new_sess").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess")
+        .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+          count(lit(1)).as("n_events"), sum("value").as("total_value"))
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+        .collect().map(_.toSeq).toSet
+
+      val mem = MemoryStream[Event]
+      val q = Streaming.sessionizeTws(mem.toDS())
+        .writeStream.format("memory").queryName("sess_tws")
+        .outputMode("append").start()
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      // Sentinel advances the watermark past every timer -> all open
+      // sessions close through handleExpiredTimer.
+      mem.addData(Event(99L, new Timestamp(base + 365L * 24 * 3600 * 1000), "e", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_tws")
+        .filter(col("user_id") =!= 99L)
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+        .collect().map(_.toSeq).toSet
+      q.stop()
+      assert(streamed == batch)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("same-batch stragglers within the gap merge into one session") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
