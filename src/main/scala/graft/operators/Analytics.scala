@@ -113,7 +113,6 @@ object Analytics {
         round(lead("o_totalprice", 1).over(w), 4).as("next_price"),
         ntile(4).over(w).as("quartile"),
         round(percent_rank().over(w), 4).as("pct_rank"))
-      .orderBy("o_custkey", "o_orderkey")
   }
 
   /** Full-outer join of the customer dimension against per-customer
@@ -132,7 +131,6 @@ object Analytics {
         col("c_mktsegment"),
         coalesce(col("n_orders"), lit(0L)).as("n_orders"),
         coalesce(col("sum_price"), lit(0.0)).as("sum_price"))
-      .orderBy("custkey")
   }
 
   /** Scalar-subquery filter: line items priced above the global mean.
@@ -176,7 +174,6 @@ object Analytics {
       .join(Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"), "right_outer")
       .select(col("c_custkey"), col("c_mktsegment"), col("o_orderkey"), col("price"))
-      .orderBy("c_custkey", "o_orderkey")
   }
 
   /** Cross join of the two smallest dimensions — the only sane cross
@@ -205,7 +202,6 @@ object Analytics {
         year(col("o_orderdate")).as("yr"),
         quarter(col("o_orderdate")).as("qtr"),
         add_months(to_date(col("o_orderdate")), 3).as("plus3m"))
-      .orderBy("o_orderkey")
 
   /** String scalar family over customer names (reference: upper +
     * replace only, `s2g/vendas.py:126-130`).
@@ -222,7 +218,6 @@ object Analytics {
         instr(col("c_name"), "0").as("first_zero"),
         substring(col("c_name"), 10, 9).as("id_part"),
         translate(col("c_name"), "#0", "_ ").as("translated"))
-      .orderBy("c_custkey")
 
   /** Sketch aggregates — the cardinality/quantile tools that replace
     * exact distinct counts at 100 TB: HyperLogLog++ distinct (2%

@@ -75,7 +75,6 @@ object Dedup {
       .groupBy(col("text"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"), md5(col("text")).as("text_md5"))
-      .orderBy("keep_id")
 
   /** Exact dedup keyed on the 8-byte content fingerprint instead of
     * the full text — the 100 TB variant of [[exact]]: the shuffle
@@ -90,7 +89,6 @@ object Dedup {
       .groupBy(col("fp60"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"), col("fp60"))
-      .orderBy("keep_id")
 
   /** Distinct (doc_id, 3-gram shingle FINGERPRINT) pairs — the
     * inverted index the Jaccard verifier and the boilerplate-coverage
@@ -173,7 +171,6 @@ object Dedup {
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy("a_id", "b_id")
   }
 
   /** Per-doc 16-slot MinHash signature in ONE map-side pass — the
@@ -262,7 +259,7 @@ object Dedup {
     * join), never a cross product.
     */
   def minHashLsh(spark: SparkSession, sfDir: String): DataFrame =
-    minHashPairs(spark, sfDir).orderBy("a_id", "b_id")
+    minHashPairs(spark, sfDir)
 
   /** The composed production near-dup pipeline: MinHash-LSH candidate
     * generation VERIFIED by exact Jaccard — computed per candidate
@@ -285,7 +282,6 @@ object Dedup {
     raw.select(col("a_id"), col("b_id"), col("est_jaccard"),
         round(col("jac"), 4).as("jaccard"),
         (col("jac") >= JaccardThreshold).as("confirmed"))
-      .orderBy("a_id", "b_id")
   }
 
   /** Frequency-weighted 60-bit SimHash per doc in ONE map-side pass —
@@ -327,7 +323,6 @@ object Dedup {
       .withColumn("hamming", bit_count(col("a_sim").bitwiseXOR(col("b_sim"))))
       .filter(col("hamming") <= SimHashRadius)
       .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
-      .orderBy("a_id", "b_id")
   }
 
   /** Embedding-cosine near-dup pairs via banded hyperplane LSH — the
@@ -361,7 +356,6 @@ object Dedup {
       .withColumn("cosine", dot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("cosine") >= CosineThreshold)
       .select(col("a_id"), col("b_id"), round(col("cosine"), 4).as("cosine"))
-      .orderBy("a_id", "b_id")
   }
 
   def embeddingPairs(spark: SparkSession, sfDir: String): DataFrame =
@@ -381,7 +375,6 @@ object Dedup {
       .withColumn("cosine", dot(col("av"), col("bv")) / (col("an") * col("bn")))
       .filter(col("cosine") >= CosineThreshold)
       .select(col("a_id"), col("b_id"), round(col("cosine"), 4).as("cosine"))
-      .orderBy("a_id", "b_id")
   }
 
   def embeddingPairsExact(spark: SparkSession, sfDir: String): DataFrame =
@@ -415,7 +408,7 @@ object Dedup {
   def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame =
     memoized(clusterCache, spark, sfDir) {
       buildNearDupClusters(spark, sfDir)
-    }.orderBy("cluster")
+    }
 
   private def buildNearDupClusters(spark: SparkSession, sfDir: String): DataFrame =
     clusterPairsOf(minHashPairs(spark, sfDir).select("a_id", "b_id"))
@@ -498,7 +491,6 @@ object Dedup {
     docs.select("doc_id", "lang", "n_chars")
       .join(exactKeepers, Seq("doc_id"), "left_semi")
       .join(nonCanonical, Seq("doc_id"), "left_anti")
-      .orderBy("doc_id")
   }
 
   /** Incremental dedup: admit a NEW batch of documents against an
@@ -565,7 +557,6 @@ object Dedup {
       .join(exactHit.unionByName(nearHit).distinct()
         .withColumn("dup", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("dup"), lit(false)).as("is_dup"))
-      .orderBy("doc_id")
   }
 
   /** Quality-aware canonical selection: within each near-dup cluster
@@ -591,7 +582,6 @@ object Dedup {
       .filter(col("rn") === 1)
       .select(col("cluster"), col("doc_id").as("keep_id"),
         col("quality_score").as("best_quality"), col("cluster_size"))
-      .orderBy("cluster")
   }
 
   /** The dedup funnel in one row — the audit dashboard a corpus

@@ -162,7 +162,6 @@ object Multimodal {
         md5(frame(0).cast("binary")).as("frame0_md5"),
         md5(frame(1).cast("binary")).as("frame1_md5"),
         md5(frame(2).cast("binary")).as("frame2_md5"))
-      .orderBy("id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

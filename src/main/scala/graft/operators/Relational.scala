@@ -15,7 +15,11 @@ import graft.Tables
   * other join types, windows, sorts, rollup, sessionization, as-of and
   * range joins) are exercised here so the whole surface is oracle-checked.
   *
-  * Every query ends in a deterministic `orderBy`; all double aggregates
+  * Small aggregate outputs end in a deterministic `orderBy`; per-row
+  * outputs ship unsorted (SCALE.md "Output ordering discipline" — the
+  * correctness driver sorts before hashing, and a trailing global sort
+  * of an input-sized output is a needless range exchange at scale).
+  * All double aggregates
   * are rounded to 4 decimals on BOTH sides so cross-engine float
   * summation order cannot flip the hash compare.
   *
@@ -35,7 +39,7 @@ object Relational {
       .select(col("l_orderkey"), col("l_linenumber"),
         round(col("l_extendedprice"), 4).as("price"),
         col("l_shipdate"))
-      .orderBy("l_orderkey", "l_linenumber")
+
 
   /** Projection + rename, the P1/P2 pair (`s2g/vendas.py:53,133-149`). */
   def projectRename(spark: SparkSession, sfDir: String): DataFrame =
@@ -44,7 +48,7 @@ object Relational {
         upper(col("p_brand")).as("MARCA"),
         upper(translate(col("p_type"), " ", "_")).as("CATEGORIA"),
         col("p_size").as("TAMANHO"))
-      .orderBy("ID_PRODUTO")
+
 
   /** Scalar function sweep: F1-F4 (`b2s/orders.py:71-75`,
     * `s2g/vendas.py:123-130`) plus length/substring/concat.
@@ -59,7 +63,7 @@ object Relational {
         substring(col("o_orderstatus"), 1, 1).as("st"),
         concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
         lower(col("o_orderpriority")).as("prio_lower"))
-      .orderBy("o_orderkey")
+
 
   /** TPC-H Q1-shaped pricing summary: partial (map-side) aggregation
     * combines before the single shuffle on the 2-column grouping key —
@@ -114,7 +118,6 @@ object Relational {
     val big = Tables.lineitem(spark, sfDir).filter(col("l_quantity") >= 48)
     o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
       .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("total"), col("o_orderstatus"))
-      .orderBy("o_orderkey")
   }
 
   /** Left-anti join (NOT EXISTS): orders that never shipped an item. */
@@ -123,7 +126,6 @@ object Relational {
     val li = Tables.lineitem(spark, sfDir)
     o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
       .select(col("o_orderkey"), col("o_orderstatus"), round(col("o_totalprice"), 4).as("total"))
-      .orderBy("o_orderkey")
   }
 
   /** Left join + null-fill, the F5 pattern (`s2g/vendas.py:114-120`):
@@ -138,7 +140,6 @@ object Relational {
       .select(col("o_orderkey"),
         round(coalesce(col("items_total_raw"), lit(0.0)), 4).as("items_total"),
         coalesce(col("n_raw"), lit(0L)).as("n_items"))
-      .orderBy("o_orderkey")
   }
 
   /** Union-all with by-name alignment — the pandas `concat` semantics of
@@ -151,7 +152,7 @@ object Relational {
       .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("price"), lit("HI").as("bucket"))
     val lo = o.filter(col("o_totalprice") < 50000)
       .select(lit("LO").as("bucket"), col("o_orderkey"), round(col("o_totalprice"), 4).as("price"))
-    hi.unionByName(lo).orderBy("o_orderkey")
+    hi.unionByName(lo)
   }
 
   /** Distinct = group-by-all-columns; one shuffle on the pair. */
@@ -195,7 +196,6 @@ object Relational {
     Tables.orders(spark, sfDir)
       .select(col("o_custkey"), col("o_orderkey"), to_date(col("o_orderdate")).as("dt"),
         round(sum(col("o_totalprice")).over(w), 4).as("running_total"))
-      .orderBy("o_custkey", "o_orderkey")
   }
 
   /** Rollup (hierarchical grouping sets) — one pass, Catalyst expands to
@@ -231,7 +231,6 @@ object Relational {
         col("o_orderdate").as("valid_from"))
       .withColumn("valid_to", lead("valid_from", 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
-      .orderBy("o_custkey", "valid_from", "o_orderkey")
   }
 
   /** Distribution window functions (ntile / percent_rank / cume_dist)
@@ -248,7 +247,6 @@ object Relational {
         ntile(4).over(w).as("quartile"),
         round(percent_rank().over(w), 4).as("pct_rank"),
         round(cume_dist().over(w), 4).as("cume"))
-      .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
   }
 
   /** Time-series resample + forward-fill: per user, an hourly grid
@@ -306,7 +304,6 @@ object Relational {
         round(sum("value"), 4).as("sum_value"),
         min("ts").as("session_start"),
         max("ts").as("session_end"))
-      .orderBy("user_id", "sess_seq")
   }
 
   /** As-of join: latest order at-or-before each event, per user — see
@@ -320,7 +317,6 @@ object Relational {
       .select(col("event_id"), col("user_id"), col("ts"),
         col("o_orderkey").as("last_orderkey"),
         round(col("o_totalprice"), 4).as("last_totalprice"))
-      .orderBy("event_id")
   }
 
   /** Range join via time binning: pairs of events by the same user within
@@ -346,7 +342,6 @@ object Relational {
       .filter(col("a_id") < col("b_id") &&
         abs(unix_micros(col("a_ts")) - unix_micros(col("b_ts"))) <= binUs)
       .select(col("a_id"), col("b_id"), col("a_user").as("user_id"))
-      .orderBy("a_id", "b_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

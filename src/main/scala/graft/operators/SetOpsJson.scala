@@ -48,7 +48,6 @@ object SetOpsJson {
         get_json_object(col("payload"), "$.k").cast("long").as("k_back"),
         get_json_object(col("payload"), "$.s").as("s_back"),
         get_json_object(col("payload"), "$.p").as("p_back"))
-      .orderBy("o_orderkey")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_intersect" -> (intersectKeys _),

@@ -277,7 +277,6 @@ object Similarity {
         col("s.q_min").cast("int").as("q_min"),
         col("s.q_max").cast("int").as("q_max"),
         round(col("s.mse"), 6).as("mse"))
-      .orderBy("vec_id")
   }
 
   /** ANN recall audit — the approximation-quality "stats page" next

@@ -41,7 +41,6 @@ object TextAnalysis {
         size(toksCol).as("n_ws_tokens"),
         size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
           .as("n_bpe_tokens"))
-      .orderBy("doc_id")
 
   /** Quality scoring from length / punctuation / stopword signals —
     * the heuristics corpus filters (C4, Gopher rules) apply before
@@ -73,7 +72,7 @@ object TextAnalysis {
   }
 
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame =
-    qualityScoreOf(Tables.documents(spark, sfDir)).orderBy("doc_id")
+    qualityScoreOf(Tables.documents(spark, sfDir))
 
   /** Per-language CHARACTER-n-gram profiles — the fastText/CLD-family
     * heuristic: score each language by the per-character rate of its
@@ -142,7 +141,7 @@ object TextAnalysis {
   }
 
   def langId(spark: SparkSession, sfDir: String): DataFrame =
-    langIdOf(Tables.documents(spark, sfDir)).orderBy("doc_id")
+    langIdOf(Tables.documents(spark, sfDir))
 
   /** Content fingerprint: min over the 60-bit hashes of all character
     * 8-grams (a 1-permutation MinHash — the winnowing/rolling-hash
@@ -161,7 +160,6 @@ object TextAnalysis {
       .withColumn("f", fp)
       .select(col("doc_id"), col("f.fp60").as("fp60"),
         col("f.n_distinct").as("n_distinct_8grams"))
-      .orderBy("doc_id")
   }
 
   /** Corpus term statistics: term frequency + document frequency +
@@ -213,7 +211,6 @@ object TextAnalysis {
   def qualityFilter(spark: SparkSession, sfDir: String): DataFrame =
     qualityScore(spark, sfDir)
       .filter(col("quality_score") >= 0.7 && col("punct_ratio") <= 0.3)
-      .orderBy("doc_id")
 
   /** Token-bigram corpus statistics (the n-gram LM building block):
     * top bigrams with document frequency. Same map-side-combine shape
@@ -281,7 +278,6 @@ object TextAnalysis {
       .groupBy("shard", "pack_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("pack_tokens"),
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
-      .orderBy("shard", "pack_id")
   }
 
   def sequencePack(spark: SparkSession, sfDir: String, budget: Int = 2048): DataFrame =
@@ -354,7 +350,6 @@ object TextAnalysis {
         size(regexp_extract_all(t0, lit(termPattern), lit(0))).as("n_terms"),
         size(regexp_extract_all(t0, lit(DigitPattern), lit(0))).as("n_digit_runs"),
         md5(t3).as("redacted_md5"))
-      .orderBy("doc_id")
   }
 
   /** Duplicated-n-gram (boilerplate) coverage — the Gopher-family
@@ -375,7 +370,6 @@ object TextAnalysis {
         sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
       .withColumn("boiler_ratio",
         round(col("n_boiler").cast("double") / col("n_grams"), 4))
-      .orderBy("doc_id")
   }
 
   /** Train/test decontamination check — the eval-integrity step every
@@ -410,7 +404,6 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(countDistinct("train_id").as("n_train_docs"),
         countDistinct("g").as("n_shared_grams"))
-      .orderBy("doc_id")
   }
 
   /** Per-language epoch weights for mixture upsampling. Fractional
@@ -477,7 +470,6 @@ object TextAnalysis {
       .withColumn("last_chunk_tokens",
         when(col("n_chunks") <= 1, col("n_tok"))
           .otherwise(col("n_tok") - lit(ChunkStride.toLong) * (col("n_chunks") - 1)))
-      .orderBy("doc_id")
   }
 
   /** Bigram-LM quality scoring — the CCNet-family "score documents by
@@ -506,7 +498,6 @@ object TextAnalysis {
         (coalesce(col("cw"), lit(0L)) + col("v")).cast("double")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), round(avg("lnp"), 4).as("avg_ln_p"))
-      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -101,7 +101,6 @@ object VendasMart {
       .unpivot(Array(col("user_id")), EventTypes.map(col(_)).toArray, "event_type", "total")
       .filter(col("total").isNotNull)
       .select(col("user_id"), col("event_type"), round(col("total"), 4).as("total"))
-      .orderBy("user_id", "event_type")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vendas_mart" -> ((s, dir) => mart(s, dir)),
@@ -112,7 +111,7 @@ object VendasMart {
         .select(
           col("user_id") +:
             EventTypes.map(t => round(col(t), 4).as(s"sum_$t")): _*)
-        .orderBy("user_id")))
+        ))
 
   private val pivotCase: String = EventTypes
     .map(t => s"sum(CASE WHEN event_type = '$t' THEN value END) AS $t")
