@@ -60,7 +60,9 @@ object Bench {
         }
       }
     }
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale,
+    // which can emit comma decimal separators and break the JSON.
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // Compact record, totals first: per-query values rounded to 3
     // decimals keep the whole line inside the driver's tail window
     // (round 3's full-precision line was truncated mid-JSON).

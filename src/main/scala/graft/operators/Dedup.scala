@@ -600,7 +600,9 @@ object Dedup {
     val nPairs = minHashPairs(spark, sfDir).agg(count(lit(1)).as("n_near_pairs"))
     val clusters = nearDupClusters(spark, sfDir)
       .agg(count(lit(1)).as("n_clusters"),
-        sum("cluster_size").cast("long").as("n_clustered_docs"))
+        // coalesce: sum over an EMPTY cluster set is null, but the
+        // oracle's count(*) is 0 — a pair-free corpus must agree.
+        coalesce(sum("cluster_size"), lit(0L)).cast("long").as("n_clustered_docs"))
     val nSurv = survivors(spark, sfDir).agg(count(lit(1)).as("n_survivors"))
     nDocs.crossJoin(broadcast(nGroups)).crossJoin(broadcast(nPairs))
       .crossJoin(broadcast(clusters)).crossJoin(broadcast(nSurv))

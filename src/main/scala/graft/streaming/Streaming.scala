@@ -202,9 +202,10 @@ object Streaming {
     * Straggler handling: late events (within watermark) older than the
     * open session by more than the gap form their own earlier
     * session(s). Consecutive in-batch stragglers within the gap MERGE
-    * — the batch twin would — and the chain can never reach the open
-    * session (only events < start - gap join it, so its end stays >
-    * gap away). Straggler sessions close with the batch: stragglers
+    * — the batch twin would — and if the open session extends backward
+    * far enough during the batch to come within the gap of the final
+    * chain, the chain folds into it (see below). Straggler sessions
+    * otherwise close with the batch: stragglers
     * split across DIFFERENT micro-batches still emit separately, since
     * merging those would need an unbounded event buffer; pinned
     * divergence from the batch twin.
@@ -246,9 +247,23 @@ object Streaming {
           cur = Some(SessionState(t, t, 1, e.value))
       }
     }
-    straggler.foreach { st =>
-      closed += Session(
-        userId, new Timestamp(st.start), new Timestamp(st.last), st.n, st.total)
+    // The open session can extend BACKWARD during this batch (late
+    // events just inside start - gap merge with start = min), so the
+    // final straggler chain may now sit within the gap of the moved
+    // start — fold it in rather than emitting a spurious split (the
+    // batch twin would merge them). Earlier, already-closed chains
+    // cannot be affected: each closed when its successor was > gap
+    // away, and the open session never moves below that successor's
+    // start.
+    (straggler, cur) match {
+      case (Some(st), Some(s)) if s.start - st.last <= SessionGapMs =>
+        cur = Some(s.copy(start = math.min(st.start, s.start),
+          last = math.max(st.last, s.last), n = s.n + st.n,
+          total = s.total + st.total))
+      case (Some(st), _) =>
+        closed += Session(
+          userId, new Timestamp(st.start), new Timestamp(st.last), st.n, st.total)
+      case _ => ()
     }
     (closed.result(), cur)
   }

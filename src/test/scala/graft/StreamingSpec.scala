@@ -179,6 +179,36 @@ class StreamingSpec extends SparkSpec {
     assert(s.getAs[Double]("total_value") == 5.0)
   }
 
+  test("straggler chain folds into a backward-extended open session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.sessionize(mem.toDS(), lateness = "2 hours")
+      .writeStream.format("memory").queryName("straggler_fold")
+      .outputMode("append").start()
+    mem.addData(Event(1L, Timestamp.valueOf("2024-05-01 12:00:00"), "e", 1.0))
+    q.processAllAvailable()
+    // 11:29 is a straggler vs the 12:00 open session (> 30-min gap);
+    // 11:31 then merges and extends the session backward to 11:31 —
+    // bringing the straggler within the gap. The batch twin makes ONE
+    // session 11:29-12:00, so nothing may emit as a split here.
+    mem.addData(
+      Event(1L, Timestamp.valueOf("2024-05-01 11:29:00"), "e", 2.0),
+      Event(1L, Timestamp.valueOf("2024-05-01 11:31:00"), "e", 4.0))
+    q.processAllAvailable()
+    assert(spark.table("straggler_fold").isEmpty, "no spurious split session")
+    // Close the merged session via the timeout and check its full span.
+    mem.addData(Event(2L, Timestamp.valueOf("2024-05-01 18:00:00"), "e", 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("straggler_fold").collect()
+    q.stop()
+    assert(rows.length == 1)
+    val s = rows(0)
+    assert(s.getAs[Timestamp]("session_start") == Timestamp.valueOf("2024-05-01 11:29:00"))
+    assert(s.getAs[Timestamp]("session_end") == Timestamp.valueOf("2024-05-01 12:00:00"))
+    assert(s.getAs[Long]("n_events") == 3)
+    assert(s.getAs[Double]("total_value") == 7.0)
+  }
+
   test("streaming exact dedup: dropDuplicates within watermark emits each key once") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
