@@ -180,6 +180,26 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** Intra-document repetition — the Gopher "fraction of duplicated
+    * n-grams" filter signal, WITHIN one document (the cross-document
+    * twin is [[boilerplate]]): total vs distinct 3-gram occurrences
+    * and the duplicated fraction. A repetitive doc (boilerplate loops,
+    * degenerate generation) scores high and gets filtered before
+    * training. Pure per-row array arithmetic — no shuffle, fuses into
+    * the ingest scan like the other quality signals.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val total = size(shingleList(col("text"), 3))
+    val distinct = size(shingleSet(col("text"), 3))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        total.as("n_grams_total"),
+        distinct.as("n_grams_distinct"),
+        round(when(total > 0,
+            lit(1.0) - distinct.cast("double") / total.cast("double"))
+          .otherwise(lit(0.0)), 4).as("rep_ratio"))
+  }
+
   /** BPE merge-candidate induction — the first iteration of byte-pair
     * vocabulary training: count every adjacent character pair inside
     * whitespace tokens (occurrence-weighted, not per-type) and emit
@@ -518,7 +538,8 @@ object TextAnalysis {
     "q_text_fingerprint" -> (fingerprint _),
     "q_text_term_freq" -> (termFreq _),
     "q_text_bigrams" -> (bigramStats _),
-    "q_text_bpe_merges" -> ((s: SparkSession, d: String) => bpeMerges(s, d)))
+    "q_text_bpe_merges" -> ((s: SparkSession, d: String) => bpeMerges(s, d)),
+    "q_text_repetition" -> (repetition _))
 
   private val stopList = Stopwords.map(w => s"'$w'").mkString(", ")
 
@@ -799,6 +820,24 @@ object TextAnalysis {
         |       list_min(list_transform(grams,
         |         g -> CAST('0x' || substr(md5(g), 1, 15) AS BIGINT))) AS fp60,
         |       CAST(len(list_distinct(grams)) AS INT) AS n_distinct_8grams
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "q_text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS tk
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(tk) >= 3
+        |              THEN list_transform(range(1, len(tk) - 1),
+        |                   i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+        |              ELSE [] END AS gl
+        |  FROM t)
+        |SELECT doc_id,
+        |       CAST(len(gl) AS INT) AS n_grams_total,
+        |       CAST(len(list_distinct(gl)) AS INT) AS n_grams_distinct,
+        |       round(CASE WHEN len(gl) > 0
+        |             THEN 1.0 - len(list_distinct(gl)) * 1.0 / len(gl)
+        |             ELSE 0.0 END, 4) AS rep_ratio
         |FROM g ORDER BY doc_id""".stripMargin,
     "q_text_bpe_merges" ->
       """WITH tok AS (

@@ -167,6 +167,25 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("intra-doc repetition ratio: degenerate loop scores high, varied text scores 0") {
+    val docs = Seq(
+      (1L, "en", "spam ham eggs " * 10 + "spam ham eggs"), // 11x the same 3 tokens
+      (2L, "en", "one two three four five six seven"),     // all grams distinct
+      (3L, "en", "too short")                              // < 3 tokens -> no grams
+    ).toDF("doc_id", "lang", "text")
+    val dir = tmpDir("rep")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.repetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: 31 sliding grams, only 3 distinct rotations -> high ratio.
+    assert(out(1L).getAs[Int]("n_grams_total") == 31)
+    assert(out(1L).getAs[Int]("n_grams_distinct") == 3)
+    assert(out(1L).getAs[Double]("rep_ratio") > 0.9)
+    assert(out(2L).getAs[Double]("rep_ratio") == 0.0)
+    assert(out(3L).getAs[Int]("n_grams_total") == 0)
+    assert(out(3L).getAs[Double]("rep_ratio") == 0.0)
+  }
+
   test("BPE merge candidates count occurrence-weighted adjacent pairs") {
     // "low low lower": 'lo' and 'ow' appear in all three tokens
     // (occurrence-weighted, so 3 each); 'we'/'er' only in "lower".
