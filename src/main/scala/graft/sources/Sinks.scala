@@ -39,6 +39,25 @@ object Sinks {
     (if (singleObject) df.coalesce(1) else df)
       .write.mode("overwrite").parquet(path)
 
+  /** Gzipped JSON-lines sink — the de-facto LLM corpus interchange
+    * format (one JSON object per line, .jsonl.gz shards). Each
+    * partition writes one shard; gzip is the interchange convention
+    * (splittability doesn't matter because shard boundaries, not
+    * codec blocks, are the parallelism unit on re-read).
+    */
+  def jsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "gzip").json(path)
+
+  /** JSONL source with a DECLARED schema — never infer on a corpus
+    * read: inference runs an extra full pass and drifts with shard
+    * sampling. Types round-trip exactly for the documents-table shape
+    * (longs, strings); binary/timestamp columns need explicit
+    * encoding policy at the boundary.
+    */
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Hive-style partitioned parquet sink with DYNAMIC overwrite: only
     * the partitions present in `df` are replaced; everything else is
     * untouched. This is the incremental-rebuild pattern for a date-

@@ -71,6 +71,20 @@ class SinksSpec extends SparkSpec {
     assert(byId(2L).getDouble(merged.columns.indexOf("v2_added")) == 9.5)
   }
 
+  test("jsonl corpus interchange: gzipped shards round-trip the documents table") {
+    val src = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val path = tmpDir("jsonl") + "/docs"
+    Sinks.jsonl(src, path)
+    // Shards are gzip, per the interchange convention.
+    val files = new java.io.File(path).listFiles.map(_.getName)
+    assert(files.exists(_.endsWith(".json.gz")), files.mkString(","))
+    val back = Sinks.readJsonl(spark, path, src.schema)
+    assert(back.schema == src.schema)
+    val a = src.collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(a == b, s"jsonl round-trip lost rows: ${a.size} vs ${b.size}")
+  }
+
   test("MySQL dialect maps the TB_VENDAS gold schema to the expected DDL types") {
     // The reference's real sink is MySQL (`s2g/vendas.py:173-180`,
     // BD_STACK.TB_VENDAS); no MySQL server or driver exists offline,
