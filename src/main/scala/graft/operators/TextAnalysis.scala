@@ -189,7 +189,11 @@ object TextAnalysis {
     * the ingest scan like the other quality signals.
     */
   def repetition(spark: SparkSession, sfDir: String): DataFrame = {
-    val total = size(shingleList(col("text"), 3))
+    // Total sliding 3-grams is ARITHMETIC on the token count —
+    // max(tokens - 2, 0) — so only the distinct set pays a gram pass;
+    // materializing the non-distinct gram list just to take its size
+    // would double the per-row text work.
+    val total = greatest(size(toksCol) - lit(2), lit(0))
     val distinct = size(shingleSet(col("text"), 3))
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
@@ -827,16 +831,17 @@ object TextAnalysis {
         |  FROM documents),
         |g AS (
         |  SELECT doc_id,
+        |         CAST(greatest(len(tk) - 2, 0) AS INT) AS nt,
         |         CASE WHEN len(tk) >= 3
-        |              THEN list_transform(range(1, len(tk) - 1),
-        |                   i -> array_to_string(list_slice(tk, i, i + 2), ' '))
-        |              ELSE [] END AS gl
+        |              THEN len(list_distinct(list_transform(range(1, len(tk) - 1),
+        |                   i -> array_to_string(list_slice(tk, i, i + 2), ' '))))
+        |              ELSE 0 END AS nd
         |  FROM t)
         |SELECT doc_id,
-        |       CAST(len(gl) AS INT) AS n_grams_total,
-        |       CAST(len(list_distinct(gl)) AS INT) AS n_grams_distinct,
-        |       round(CASE WHEN len(gl) > 0
-        |             THEN 1.0 - len(list_distinct(gl)) * 1.0 / len(gl)
+        |       nt AS n_grams_total,
+        |       CAST(nd AS INT) AS n_grams_distinct,
+        |       round(CASE WHEN nt > 0
+        |             THEN 1.0 - nd * 1.0 / nt
         |             ELSE 0.0 END, 4) AS rep_ratio
         |FROM g ORDER BY doc_id""".stripMargin,
     "q_text_bpe_merges" ->

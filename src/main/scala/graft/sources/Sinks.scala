@@ -50,13 +50,16 @@ object Sinks {
 
   /** JSONL source with a DECLARED schema — never infer on a corpus
     * read: inference runs an extra full pass and drifts with shard
-    * sampling. Types round-trip exactly for the documents-table shape
-    * (longs, strings); binary/timestamp columns need explicit
-    * encoding policy at the boundary.
+    * sampling. FAILFAST, not the default PERMISSIVE: a corrupt line in
+    * a third-party shard must fail the read loudly, not dissolve into
+    * an all-null row that flows silently through dedup/quality ops.
+    * Types round-trip exactly for the documents-table shape (longs,
+    * strings); binary/timestamp columns need explicit encoding policy
+    * at the boundary.
     */
   def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.read.schema(schema).json(path)
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
 
   /** Hive-style partitioned parquet sink with DYNAMIC overwrite: only
     * the partitions present in `df` are replaced; everything else is

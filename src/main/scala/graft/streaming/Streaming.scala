@@ -216,6 +216,24 @@ object Streaming {
     var cur = open
     var straggler: Option[SessionState] = None
     val closed = Seq.newBuilder[Session]
+    // A session can extend BACKWARD during the batch (late events just
+    // inside start - gap merge with start = min), bringing the open
+    // straggler chain within the gap of the moved start — fold the
+    // chain in rather than emitting a spurious split (the batch twin
+    // would merge them). The fold must run whenever a session LEAVES
+    // `cur` (mid-batch close as well as batch end): a later event can
+    // close the backward-extended session before the loop finishes.
+    // Earlier, already-closed chains cannot be affected: each closed
+    // when its successor was > gap away, and the session never moves
+    // below that successor's start.
+    def foldStraggler(s: SessionState): SessionState = straggler match {
+      case Some(st) if s.start - st.last <= SessionGapMs =>
+        straggler = None
+        s.copy(start = math.min(st.start, s.start),
+          last = math.max(st.last, s.last), n = s.n + st.n,
+          total = s.total + st.total)
+      case _ => s
+    }
     sorted.foreach { e =>
       val t = e.ts.getTime
       cur match {
@@ -240,30 +258,19 @@ object Streaming {
             last = math.max(s.last, t), n = s.n + 1,
             total = s.total + e.value))
         case Some(s) =>
+          val merged = foldStraggler(s)
           closed += Session(
-            userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+            userId, new Timestamp(merged.start), new Timestamp(merged.last),
+            merged.n, merged.total)
           cur = Some(SessionState(t, t, 1, e.value))
         case None =>
           cur = Some(SessionState(t, t, 1, e.value))
       }
     }
-    // The open session can extend BACKWARD during this batch (late
-    // events just inside start - gap merge with start = min), so the
-    // final straggler chain may now sit within the gap of the moved
-    // start — fold it in rather than emitting a spurious split (the
-    // batch twin would merge them). Earlier, already-closed chains
-    // cannot be affected: each closed when its successor was > gap
-    // away, and the open session never moves below that successor's
-    // start.
-    (straggler, cur) match {
-      case (Some(st), Some(s)) if s.start - st.last <= SessionGapMs =>
-        cur = Some(s.copy(start = math.min(st.start, s.start),
-          last = math.max(st.last, s.last), n = s.n + st.n,
-          total = s.total + st.total))
-      case (Some(st), _) =>
-        closed += Session(
-          userId, new Timestamp(st.start), new Timestamp(st.last), st.n, st.total)
-      case _ => ()
+    cur = cur.map(foldStraggler)
+    straggler.foreach { st =>
+      closed += Session(
+        userId, new Timestamp(st.start), new Timestamp(st.last), st.n, st.total)
     }
     (closed.result(), cur)
   }

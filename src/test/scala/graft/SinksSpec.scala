@@ -83,6 +83,18 @@ class SinksSpec extends SparkSpec {
     val a = src.collect().map(_.toSeq).toSet
     val b = back.collect().map(_.toSeq).toSet
     assert(a == b, s"jsonl round-trip lost rows: ${a.size} vs ${b.size}")
+
+    // A corrupt line in a shard must fail the read loudly (FAILFAST),
+    // not dissolve into an all-null row.
+    val badDir = tmpDir("jsonl_bad")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(badDir, "shard.json"),
+      """{"doc_id": 1, "lang": "en", "text": "ok", "n_chars": 2}
+        |this is not json
+        |""".stripMargin)
+    intercept[org.apache.spark.SparkException] {
+      Sinks.readJsonl(spark, badDir, src.schema).collect()
+    }
   }
 
   test("MySQL dialect maps the TB_VENDAS gold schema to the expected DDL types") {

@@ -209,6 +209,33 @@ class StreamingSpec extends SparkSpec {
     assert(s.getAs[Double]("total_value") == 7.0)
   }
 
+  test("straggler folds even when the extended session closes mid-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.sessionize(mem.toDS(), lateness = "2 hours")
+      .writeStream.format("memory").queryName("straggler_midclose")
+      .outputMode("append").start()
+    mem.addData(Event(1L, Timestamp.valueOf("2024-05-01 12:00:00"), "e", 1.0))
+    q.processAllAvailable()
+    // 11:25 stragglers vs the 12:00 session; 11:31 extends it backward
+    // (now within the gap of 11:25); 13:00 then CLOSES that session
+    // mid-loop. The fold must happen against the closing session, not
+    // the new 13:00 one — the batch twin makes one 11:25-12:00 session.
+    mem.addData(
+      Event(1L, Timestamp.valueOf("2024-05-01 11:25:00"), "e", 2.0),
+      Event(1L, Timestamp.valueOf("2024-05-01 11:31:00"), "e", 4.0),
+      Event(1L, Timestamp.valueOf("2024-05-01 13:00:00"), "e", 8.0))
+    q.processAllAvailable()
+    val rows = spark.table("straggler_midclose").collect()
+    q.stop()
+    assert(rows.length == 1)
+    val s = rows(0)
+    assert(s.getAs[Timestamp]("session_start") == Timestamp.valueOf("2024-05-01 11:25:00"))
+    assert(s.getAs[Timestamp]("session_end") == Timestamp.valueOf("2024-05-01 12:00:00"))
+    assert(s.getAs[Long]("n_events") == 3)
+    assert(s.getAs[Double]("total_value") == 7.0)
+  }
+
   test("streaming exact dedup: dropDuplicates within watermark emits each key once") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
