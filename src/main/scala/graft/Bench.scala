@@ -21,7 +21,15 @@ object Bench {
     // dedup-family query in run order pays the one-time build and
     // per-query numbers become order-dependent.
     val tIx0 = System.nanoTime()
-    try operators.Dedup.prewarm(spark, sfDir) catch { case _: Throwable => () }
+    // A failed prewarm must be LOUD: it silently reverts per-query
+    // numbers to order-dependent (the first dedup query re-absorbs the
+    // index build) — surface it on stderr and in the record.
+    val prewarmOk =
+      try { operators.Dedup.prewarm(spark, sfDir); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] prewarm FAILED, timings order-dependent: $e")
+        false
+      }
     val indexBuild = (System.nanoTime() - tIx0) / 1e9
     // Deterministic run order (sorted by name) so per-query timings are
     // comparable across rounds — Map iteration order is hash-dependent.
@@ -74,10 +82,10 @@ object Bench {
     val ok = results.filter(_._4)
     val totalMedian = ok.map(_._3).sum
     val totalMin = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":${r3(totalMedian)},"unit":"sec","sf":"$sfDir","action":"noop-write,median-of-3 total,min-of-3 per query","total_min":${r3(totalMin)},"index_build":${r3(indexBuild)},"n_queries":${results.size},"errors":$errors,"queries":$qs}""")
+    println(s"""{"metric":"total","value":${r3(totalMedian)},"unit":"sec","sf":"$sfDir","action":"noop-write,median-of-3 total,min-of-3 per query","total_min":${r3(totalMin)},"index_build":${r3(indexBuild)},"prewarm_ok":$prewarmOk,"n_queries":${results.size},"errors":$errors,"queries":$qs}""")
     // Short summary repeated LAST: if the record above ever outgrows
     // the driver's tail window again, the totals still land intact.
-    println(s"""{"metric":"total","value":${r3(totalMedian)},"unit":"sec","sf":"$sfDir","total_min":${r3(totalMin)},"index_build":${r3(indexBuild)},"n_queries":${results.size},"errors":$errors}""")
+    println(s"""{"metric":"total","value":${r3(totalMedian)},"unit":"sec","sf":"$sfDir","total_min":${r3(totalMin)},"index_build":${r3(indexBuild)},"prewarm_ok":$prewarmOk,"n_queries":${results.size},"errors":$errors}""")
     spark.stop()
   }
 }

@@ -84,11 +84,25 @@ object Dedup {
     * occurs.
     */
   def exactByFingerprint(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), hash60(col("text")).as("fp60"))
+    fingerprints(spark, sfDir)
       .groupBy(col("fp60"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"), col("fp60"))
+
+  private val fpCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Memoized persisted (doc_id, fp60) content-fingerprint index —
+    * 16 bytes/row, the exact-dedup twin of [[minHashSignatures]].
+    * The fingerprint-keyed exact dedup, the incremental exact tier,
+    * and the funnel's group count all read this one frame instead of
+    * re-md5ing the corpus text per invocation.
+    */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    memoized(fpCache, spark, sfDir) {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), hash60(col("text")).as("fp60"))
+    }
 
   /** Distinct (doc_id, 3-gram shingle FINGERPRINT) pairs — the
     * inverted index the Jaccard verifier and the boilerplate-coverage
@@ -502,7 +516,8 @@ object Dedup {
     * (doc_id < 250 = corpus, >= 250 = batch). A newcomer is rejected
     * if its content fingerprint matches a corpus doc (the 16-byte
     * exact-dup shuffle of [[exactByFingerprint]] — never the full
-    * text), or if it shares a MinHash band bucket with a corpus doc
+    * text; the corpus side reads the persisted [[fingerprints]]
+    * index), or if it shares a MinHash band bucket with a corpus doc
     * AND ≥ 8/16 signature slots agree. Cost shape: the batch is
     * hashed EXACTLY once (O(|batch|), pinned by an eager local
     * checkpoint of the 17-long-per-doc signature frame — bands and
@@ -516,8 +531,8 @@ object Dedup {
 
     val exactHit = batch
       .select(col("doc_id"), hash60(col("text")).as("fp60"))
-      .join(docs.filter(col("doc_id") < 250)
-        .select(hash60(col("text")).as("fp60")), Seq("fp60"), "left_semi")
+      .join(fingerprints(spark, sfDir).filter(col("doc_id") < 250)
+        .select("fp60"), Seq("fp60"), "left_semi")
       .select(col("doc_id"))
 
     // Band rows CARRY their 16 signature slots (the classic LSH-table
@@ -596,7 +611,10 @@ object Dedup {
   def funnelStats(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val nGroups = docs.agg(countDistinct("text").as("n_exact_groups"))
+    // Group count off the 16-byte fingerprint index — a countDistinct
+    // over raw text would shuffle the whole corpus body.
+    val nGroups = fingerprints(spark, sfDir)
+      .agg(countDistinct("fp60").as("n_exact_groups"))
     val nPairs = minHashPairs(spark, sfDir).agg(count(lit(1)).as("n_near_pairs"))
     val clusters = nearDupClusters(spark, sfDir)
       .agg(count(lit(1)).as("n_clusters"),
@@ -620,6 +638,7 @@ object Dedup {
     * to run first paying the one-time index build.
     */
   def prewarm(spark: SparkSession, sfDir: String): Unit = {
+    fingerprints(spark, sfDir).count()
     shingleIndex(spark, sfDir).count()
     minHashSignatures(spark, sfDir).count()
     minHashPairs(spark, sfDir).count()
@@ -841,9 +860,9 @@ object Dedup {
          |exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
          |non_canon AS (SELECT id AS doc_id FROM lab WHERE id <> cluster)
          |SELECT (SELECT count(*) FROM documents) AS n_docs,
-         |       (SELECT count(DISTINCT text) FROM documents) AS n_exact_groups,
+         |       (SELECT count(DISTINCT ${h60.format("text")}) FROM documents) AS n_exact_groups,
          |       (SELECT count(*) FROM documents)
-         |         - (SELECT count(DISTINCT text) FROM documents) AS n_exact_dups,
+         |         - (SELECT count(DISTINCT ${h60.format("text")}) FROM documents) AS n_exact_dups,
          |       (SELECT count(*) FROM mh_pairs) AS n_near_pairs,
          |       (SELECT count(DISTINCT cluster) FROM lab) AS n_clusters,
          |       (SELECT count(*) FROM lab) AS n_clustered_docs,

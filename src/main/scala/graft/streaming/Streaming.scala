@@ -281,10 +281,11 @@ object Streaming {
     * event-time TIMERS instead of a single implicit state slot with
     * one timeout. Semantics are identical to [[sessionize]] (the merge
     * body is shared), and the timer protocol generalizes: each batch
-    * re-registers a timer at `last + gap`; a firing timer closes the
-    * session only if it is not stale (the session may have been
-    * extended since the timer was set, in which case the newer timer
-    * owns the close). Requires the RocksDB state store provider —
+    * that moves the session's end SWAPS the timer to `last + gap`
+    * (the superseded timer is deleted, keeping one live timer per
+    * session); the staleness check in `handleExpiredTimer` remains as
+    * defense-in-depth for replayed batches. Requires the RocksDB
+    * state store provider —
     * transformWithState rejects the default HDFS-backed store — which
     * is also the right store at scale (changelog checkpointing, state
     * larger than executor heap).
@@ -302,7 +303,15 @@ object Streaming {
       val (closed, cur) = mergeBatch(userId, rows, open)
       cur.foreach { s =>
         state.update(s)
-        getHandle.registerTimer(s.last + SessionGapMs)
+        // Keep exactly ONE live timer per session: when the session's
+        // end moved this batch, drop the superseded timer before
+        // registering the new one — otherwise every extension leaks a
+        // stale timer into the state store for the session's lifetime
+        // (each a later no-op fire, but linear storage/work growth).
+        if (!open.exists(_.last == s.last)) {
+          open.foreach(o => getHandle.deleteTimer(o.last + SessionGapMs))
+          getHandle.registerTimer(s.last + SessionGapMs)
+        }
       }
       closed.iterator
     }
