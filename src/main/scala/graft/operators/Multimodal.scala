@@ -18,10 +18,13 @@ import graft.Tables
   *   - decode runs per-partition (`mapPartitions` on a typed Dataset):
   *     one decoder instance per partition, batched iteration, no
   *     per-row setup cost — the Scala analogue of `mapInPandas`;
-  *   - the actual codec call is STUBBED (`FakeDecoder`): this container
-  *     has no image/audio libraries. The stub is deterministic so tests
-  *     pin the pipeline shape; swap `decode` for a real codec (e.g.
-  *     javax.imageio / ffmpeg bindings) without touching the plan.
+  *   - the codec is REAL for images (`javax.imageio`, which ships in
+  *     the JDK: PNG/JPEG/GIF/BMP decode to true width x height) and a
+  *     deterministic stub for audio/video payloads (those codecs are
+  *     not in this container). Corrupt or truncated image bytes fall
+  *     back to the stub instead of failing the partition — routine
+  *     hygiene at 100 TB, where some fraction of crawled media is
+  *     always malformed.
   *
   * The SQL-expressible slice (byte length, content hash, frame-offset
   * sampling) is registered as oracle-checked queries; the typed
@@ -38,17 +41,53 @@ object Multimodal {
       height: Int,
       n_frames: Int)
 
-  /** Deterministic stand-in for a real media decoder. A production
-    * implementation replaces `decode` with the codec call; everything
-    * around it (partitioning, batching, schema) stays identical.
+  /** Media decoder: real image decode, deterministic stub otherwise.
+    *
+    * Dispatch keys on the payload's container signature (magic bytes),
+    * not the `mime` column — decode must be source-agnostic (the same
+    * bytes give the same features whether they arrived via binaryFile,
+    * a documents-derived fixture, or a stream), and at crawl scale the
+    * declared mime routinely lies about the content.
+    *
+    *   - image signatures (PNG / JPEG / GIF / BMP) → `javax.imageio`
+    *     (JDK-native, `java.desktop` module — zero extra deps): true
+    *     pixel dimensions, 1 frame;
+    *   - unparseable-despite-signature → stub fallback (corrupt media
+    *     must degrade, not kill the partition);
+    *   - everything else (text, audio, video) → the deterministic
+    *     stub, the extension point for codecs this container lacks.
     */
-  object FakeDecoder {
-    def decode(payload: Array[Byte]): (Int, Int, Int) = {
-      // ??? <- real codec goes here; deterministic fake below
+  object Decoder {
+    // ImageIO's default path spools through a temp-file disk cache per
+    // read; in-memory decode is the right shape for a per-partition
+    // batch loop.
+    javax.imageio.ImageIO.setUseCache(false)
+
+    private def sig(p: Array[Byte], off: Int): Int =
+      if (p.length > off) p(off) & 0xff else -1
+
+    private[graft] def isImage(p: Array[Byte]): Boolean =
+      (sig(p, 0) == 0x89 && sig(p, 1) == 'P' && sig(p, 2) == 'N' && sig(p, 3) == 'G') || // PNG
+        (sig(p, 0) == 0xff && sig(p, 1) == 0xd8 && sig(p, 2) == 0xff) || // JPEG
+        (sig(p, 0) == 'G' && sig(p, 1) == 'I' && sig(p, 2) == 'F') || // GIF
+        (sig(p, 0) == 'B' && sig(p, 1) == 'M') // BMP
+
+    /** Deterministic stand-in for codecs not present in this container
+      * (audio/video) and the fallback for undecodable image bytes.
+      */
+    def stub(payload: Array[Byte]): (Int, Int, Int) = {
       val n = payload.length
       val b0 = if (n > 0) payload(0) & 0xff else 0
       (64 + b0 % 64, 64 + (n % 64), 1 + n / 256)
     }
+
+    def decode(payload: Array[Byte]): (Int, Int, Int) =
+      if (isImage(payload)) {
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          if (img != null) (img.getWidth, img.getHeight, 1) else stub(payload)
+        } catch { case _: Exception => stub(payload) }
+      } else stub(payload)
   }
 
   /** documents.text → media frame: payload = utf-8 bytes, metadata
@@ -88,14 +127,14 @@ object Multimodal {
         col("length").as("n_chars"))
   }
 
-  /** Per-partition batched decode: one `FakeDecoder` per partition,
+  /** Per-partition batched decode: one decoder per partition,
     * streamed iterator (no materialization of the whole partition).
     */
   def decodeFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       it.map { m =>
-        val (w, h, f) = FakeDecoder.decode(m.payload)
+        val (w, h, f) = Decoder.decode(m.payload)
         val checksum = m.payload.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
         MediaFeatures(m.id, m.payload.length, checksum, w, h, f)
       }

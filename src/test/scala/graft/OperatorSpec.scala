@@ -348,6 +348,41 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("real PNG bytes decode to true dimensions via javax.imageio") {
+    import graft.operators.Multimodal._
+    // Real fixtures: ImageIO-encoded PNGs at asymmetric sizes (so a
+    // width/height swap would fail), written to disk and loaded back
+    // through the production binaryFile path.
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y) & 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val dir = tmpDir("png_fixtures")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.png"), png(37, 23))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.png"), png(128, 5))
+    // Truncated PNG: magic bytes intact, body gone — must fall back to
+    // the stub, not throw.
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "corrupt.png"),
+      png(10, 10).take(12))
+
+    val feats = decodeFeatures(mediaFrameFromBinaryFiles(spark, dir).as[MediaItem])
+      .collect().map(f => f.n_bytes -> f).toMap
+    val a = feats(png(37, 23).length)
+    assert((a.width, a.height, a.n_frames) == (37, 23, 1))
+    val b = feats(png(128, 5).length)
+    assert((b.width, b.height, b.n_frames) == (128, 5, 1))
+    val c = feats(12)
+    val (sw, sh, sfr) = Decoder.stub(png(10, 10).take(12))
+    assert((c.width, c.height, c.n_frames) == (sw, sh, sfr))
+    // Non-image payloads still take the deterministic stub path.
+    assert(!Decoder.isImage("plain text".getBytes("UTF-8")))
+  }
+
   // --- as-of join ------------------------------------------------------
 
   test("as-of join: latest right row at-or-before, inclusive, tie-broken") {
