@@ -54,6 +54,23 @@ object Dedup {
   def hashB(i: Int): Long = 7919L * i + 13
 
   val JaccardThreshold = 0.6
+
+  /** Document-frequency cap on the Jaccard inverted index: shingles
+    * appearing in more than this many documents are dropped before the
+    * self-join (standard MinHash/LSH hygiene). A gram with document
+    * frequency f contributes f² candidate rows to the join — at 100 TB
+    * a stopword-like shingle ("of the and", boilerplate headers) has
+    * f in the millions and would dominate the shuffle while carrying
+    * no similarity signal (sharing a near-universal gram says nothing
+    * about two documents). The resulting score is the standard capped
+    * lower bound of exact Jaccard: `common` counts only grams with
+    * df in [2, cap]; set sizes stay uncapped. 128 is far above any df
+    * observed in the test corpora (max 25 at sf0.1), so test-scale
+    * results are bit-identical to the uncapped form — proven by
+    * OperatorSpec's recall-parity case — while the worst bucket is
+    * bounded at 128² rows regardless of corpus size.
+    */
+  val MaxShingleDf = 128
   val SimHashBits = 60
   val SimHashBandBits = 15
   val SimHashRadius = 8
@@ -184,20 +201,30 @@ object Dedup {
     * verifier, but the LSH pipeline below is the one that scales.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val ex = shingleIndex(spark, sfDir)
-    // |shingle set| per doc, straight off the array — no third
-    // shingle-index computation and no extra groupBy shuffle.
     val sizes = Tables.documents(spark, sfDir)
       .select(col("doc_id"), size(shingleSet(col("text"), 3)).cast("long").as("n"))
+    ngramJaccardOf(shingleIndex(spark, sfDir), sizes, Some(MaxShingleDf))
+  }
+
+  /** The inverted-index Jaccard join over an explicit (doc_id, g60)
+    * index and per-doc set sizes — factored so specs can drive crafted
+    * corpora and the uncapped form (`dfCap = None`) for recall parity.
+    */
+  private[graft] def ngramJaccardOf(
+      ex: DataFrame, sizes: DataFrame, dfCap: Option[Int]): DataFrame = {
     // Singleton-shingle prefilter: a shingle appearing in exactly one
     // document can never contribute to an (a,b) pair, so drop it BEFORE
     // the self-join. On a real corpus most shingles are singletons
     // (Zipf), so this collapses the join input — and the per-pair
     // `common` counts are unchanged because any shared shingle has
     // df ≥ 2 by definition. The df aggregate and the semi-join both
-    // key on `s`, so the exchange is computed once and reused.
+    // key on `s`, so the exchange is computed once and reused. The
+    // upper cap ([[MaxShingleDf]]) is the quadratic-occupancy bound —
+    // unlike the ≥2 filter it can change scores, so the oracle SQL
+    // carries the identical predicate.
+    val dfFilter = dfCap.foldLeft(col("df") >= 2)((acc, cap) => acc && col("df") <= cap)
     val shared = ex.groupBy("g60").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select("g60")
+      .filter(dfFilter).select("g60")
     val exs = ex.join(shared, Seq("g60"), "left_semi")
     val a = exs.select(col("doc_id").as("a_id"), col("g60"))
     val b = exs.select(col("doc_id").as("b_id"), col("g60"))
@@ -769,9 +796,14 @@ object Dedup {
       s"""WITH $shingleCte,
          |exh AS (SELECT doc_id, ${h60.format("s")} AS g60 FROM ex),
          |sizes AS (SELECT doc_id, count(*) AS n FROM exh GROUP BY doc_id),
+         |-- df cap mirrors Dedup.MaxShingleDf: `common` counts only
+         |-- grams with df <= cap; set sizes stay uncapped.
+         |kept AS (SELECT g60 FROM (SELECT g60, count(*) AS df FROM exh GROUP BY g60)
+         |         WHERE df <= $MaxShingleDf),
+         |exs AS (SELECT doc_id, g60 FROM exh WHERE g60 IN (SELECT g60 FROM kept)),
          |pairs AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
-         |  FROM exh a JOIN exh b ON a.g60 = b.g60 AND a.doc_id < b.doc_id
+         |  FROM exs a JOIN exs b ON a.g60 = b.g60 AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT a_id, b_id,
          |       round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard

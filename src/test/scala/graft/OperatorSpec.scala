@@ -348,6 +348,34 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("jaccard df-cap: recall-neutral on the test corpus, binds on stopword grams") {
+    import graft.functions.TextFns.shingleSet
+    def pairsOf(docs: org.apache.spark.sql.DataFrame, cap: Option[Int]) = {
+      val sizes = docs.select($"doc_id", size(shingleSet($"text", 3)).cast("long").as("n"))
+      Dedup.ngramJaccardOf(Dedup.shingleIndexOf(docs), sizes, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    }
+    // Parity: at test scale every df is far below the cap, so the
+    // capped production pipeline must emit bit-identical pairs/scores
+    // to the uncapped exact form.
+    val corpus = Tables.documents(spark, sf).select("doc_id", "text")
+    assert(pairsOf(corpus, Some(Dedup.MaxShingleDf)) == pairsOf(corpus, None))
+
+    // Crafted corpus where one gram ("a b c") has df = 132 > cap:
+    // 130 filler docs carry it in distinct contexts, and two identical
+    // docs share it plus four unique grams. The cap must drop ONLY the
+    // stopword gram from the numerator: uncapped jaccard 1.0 vs capped
+    // 4/(5+5-4) = 0.6667 — pair retained, score provably capped.
+    val filler = (0 until 130).map(i => (i.toLong, s"a b c f$i g$i"))
+    val twins = Seq((1000L, "a b c p q r s"), (1001L, "a b c p q r s"))
+    val crafted = (filler ++ twins).toDF("doc_id", "text")
+    val capped = pairsOf(crafted, Some(Dedup.MaxShingleDf))
+    val uncapped = pairsOf(crafted, None)
+    assert(uncapped((1000L, 1001L)) == 1.0)
+    assert(capped((1000L, 1001L)) == 0.6667)
+    assert(capped.keySet == uncapped.keySet)
+  }
+
   test("real PNG bytes decode to true dimensions via javax.imageio") {
     import graft.operators.Multimodal._
     // Real fixtures: ImageIO-encoded PNGs at asymmetric sizes (so a
