@@ -348,6 +348,34 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("approx stats self-audit: HLL within 3x rsd, GK median within rank tolerance") {
+    // The one rows-only query gains a quantitative bound: the sketch
+    // columns must sit inside their published error envelopes against
+    // the exact twins the query already carries.
+    val rows = Analytics.approxStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, sf)
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      // approx_count_distinct(rsd = 0.02): 3 standard deviations.
+      assert(math.abs(approx - exact) / exact <= 3 * 0.02,
+        s"$flag: HLL $approx vs exact $exact breaches 3x rsd")
+      // percentile_approx(0.5, accuracy=1000) guarantees rank error
+      // <= 1/1000; duplicates make the <=/< counts an interval, so
+      // assert the median's rank interval intersects [0.5 +- eps].
+      val med = r.getAs[Number]("approx_median").doubleValue()
+      val g = li.filter(col("l_returnflag") === flag)
+      val n = g.count().toDouble
+      val below = g.filter(col("l_extendedprice") < med).count().toDouble
+      val atOrBelow = g.filter(col("l_extendedprice") <= med).count().toDouble
+      val eps = 1.0 / 1000 + 1 / n // rank slack + integer-rank rounding
+      assert(below / n <= 0.5 + eps && atOrBelow / n >= 0.5 - eps,
+        s"$flag: median $med rank interval [${below / n}, ${atOrBelow / n}] misses 0.5±$eps")
+    }
+  }
+
   test("jaccard df-cap: recall-neutral on the test corpus, binds on stopword grams") {
     import graft.functions.TextFns.shingleSet
     def pairsOf(docs: org.apache.spark.sql.DataFrame, cap: Option[Int]) = {
