@@ -299,6 +299,46 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(1L) && rows.contains(2L) && rows.contains(3L))
   }
 
+  test("admission stream soak: state plateaus under the watermark across micro-batches") {
+    // The last untested scale property of the streaming surface: drive
+    // the corpus-admission stream through 8 micro-batches of advancing
+    // event time and prove the stateful aggregate's live row count is
+    // bounded by the watermark (O(active windows)), not cumulative in
+    // the stream (O(batches)).
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = Streaming.admissionStream(mem.toDF().toDF("ts", "doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("admission_soak")
+      .outputMode("append").start()
+    val base = Timestamp.valueOf("2024-05-01 08:00:00").getTime
+    val perBatch = 2
+    val nBatches = 8
+    (0 until nBatches).foreach { b =>
+      val t = base + b * 10 * 60 * 1000L // one 10-min window per batch
+      mem.addData((0 until perBatch).map { i =>
+        val id = (b * perBatch + i).toLong
+        (new Timestamp(t + i * 1000L), id, s"novel document $b $i about distinct topic $id")
+      }: _*)
+      q.processAllAvailable()
+    }
+    val stateRows = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.map(_.numRowsTotal)).filter(_ > 0)
+    val emitted = spark.table("admission_soak").count()
+    q.stop()
+    assert(stateRows.size >= 5, s"expected >=5 stateful micro-batches, saw $stateRows")
+    // 16 distinct (window, doc) keys entered the aggregate over the
+    // run; with a 10-min watermark only ~3 windows are ever live
+    // (current + watermark lag), so the plateau is <= 8 rows. A
+    // state leak shows up here as max -> 16.
+    assert(stateRows.max <= 8,
+      s"state must stay bounded by the watermark, saw $stateRows")
+    // Eviction actually happened: closed windows emitted before stop.
+    assert(emitted > 0)
+  }
+
   test("text quality scoring runs unchanged on a stream (map-only, stateless)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
