@@ -72,22 +72,29 @@ object Bench {
     // deliberately-persisted index frames above are warm, which is the
     // documented index-reuse behavior.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Option[Double] = {
+      // One listener window PER ATTEMPT (reset → run → drain →
+      // snapshot), and only SUCCESSFUL attempts contribute bytes: a
+      // failed run still executes part of its plan, and folding those
+      // partial bytes into an average over successful runs would
+      // inflate the per-run shuffle/spill volumes.
+      def once(): Option[(Double, (Long, Long, Long, Long))] = {
+        drain(); metrics.reset()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              Some((System.nanoTime() - t0) / 1e9) }
+              val dt = (System.nanoTime() - t0) / 1e9
+              drain()
+              Some((dt, metrics.snapshot())) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name run failed: $e"); None }
       }
-      drain(); metrics.reset()
-      val ts = (1 to 3).flatMap(_ => once()).sorted
-      drain()
-      val (sw, sr, sd, sm) = metrics.snapshot()
+      val attempts = (1 to 3).flatMap(_ => once())
+      val ts = attempts.map(_._1).sorted
       if (ts.isEmpty) QRes(name, -1.0, -1.0, 0, -1, -1, -1)
       else {
-        def mb(v: Long) = v / 1e6 / ts.size
+        def mb(f: ((Long, Long, Long, Long)) => Long) =
+          attempts.map(a => f(a._2)).sum / 1e6 / ts.size
         QRes(name, ts.head, ts(ts.size / 2), ts.size,
-          mb(sw), mb(sr), mb(sd + sm))
+          mb(_._1), mb(_._2), mb(t => t._3 + t._4))
       }
     }
     // Locale.ROOT: the f-interpolator honors the JVM default locale,

@@ -81,11 +81,51 @@ object Multimodal {
       (64 + b0 % 64, 64 + (n % 64), 1 + n / 256)
     }
 
+    /** Decompression-bomb guard: a crafted header can DECLARE huge
+      * dimensions, and `ImageIO.read` allocates the full
+      * width×height raster BEFORE any decode error surfaces — the
+      * resulting OutOfMemoryError is an Error, escapes a
+      * `catch Exception`, and kills the task. 64 MPix ≈ a 256 MB ARGB
+      * raster per concurrently-decoding task — above any plausible
+      * crawl image, below what would destabilize an executor.
+      */
+    private[graft] val MaxImagePixels = 64L * 1000 * 1000
+
+    /** Header-only dimensions via the matching [[javax.imageio.ImageReader]]
+      * — `getWidth/getHeight(0)` parse the container header without
+      * allocating the raster, so even a bomb header costs bytes, not
+      * gigabytes. None when no reader matches or the header is
+      * unparseable.
+      */
+    private def headerDims(payload: Array[Byte]): Option[(Int, Int)] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try { r.setInput(iis, true, true); Some((r.getWidth(0), r.getHeight(0))) }
+          finally r.dispose()
+        }
+      } catch { case _: Exception => None }
+      finally iis.close()
+    }
+
     def decode(payload: Array[Byte]): (Int, Int, Int) =
       if (isImage(payload)) {
         try {
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-          if (img != null) (img.getWidth, img.getHeight, 1) else stub(payload)
+          headerDims(payload) match {
+            case Some((w, h))
+                if w > 0 && h > 0 && w.toLong * h <= MaxImagePixels =>
+              // Header is sane — now the full decode is safe to
+              // attempt, and still required: a valid header on a
+              // truncated body must degrade to the stub (corrupt
+              // media must not report real-looking features).
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+              if (img != null) (img.getWidth, img.getHeight, 1) else stub(payload)
+            case _ => stub(payload)
+          }
         } catch { case _: Exception => stub(payload) }
       } else stub(payload)
   }

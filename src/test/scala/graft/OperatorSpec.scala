@@ -439,6 +439,34 @@ class OperatorSpec extends SparkSpec {
     assert(!Decoder.isImage("plain text".getBytes("UTF-8")))
   }
 
+  test("decompression bomb: huge declared dims degrade to stub without allocating") {
+    import graft.operators.Multimodal._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // Craft a bomb: valid 10x10 PNG whose IHDR DECLARES 60000x60000
+    // (3.6 GPix ≈ 14 GB ARGB) — the shape that makes a naive
+    // ImageIO.read allocate the raster before any decode error. Patch
+    // width/height (big-endian at offsets 16/20) and re-stamp the
+    // IHDR CRC so the header itself parses cleanly.
+    val bomb = png(10, 10)
+    val bb = java.nio.ByteBuffer.wrap(bomb)
+    bb.putInt(16, 60000)
+    bb.putInt(20, 60000)
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 17) // "IHDR" tag + 13 data bytes
+    bb.putInt(29, crc.getValue.toInt)
+    assert(Decoder.isImage(bomb))
+    assert(Decoder.decode(bomb) == Decoder.stub(bomb))
+    // The guard must not tax honest images: a sane PNG still reports
+    // true pixel dimensions through the full-decode path.
+    assert(Decoder.decode(png(37, 23)) == ((37, 23, 1)))
+  }
+
   // --- as-of join ------------------------------------------------------
 
   test("as-of join: latest right row at-or-before, inclusive, tie-broken") {
