@@ -344,9 +344,24 @@ object Dedup {
     * confirmation verdict.
     */
   def lshVerified(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minHashPairs(spark, sfDir)
+    // Verify-side input reduction: the exact-Jaccard kernel only ever
+    // reads docs that appear in a candidate pair (~0.1% of the corpus
+    // at production dup rates), so semi-join documents down to the
+    // participant ids BEFORE the shingle kernel runs — otherwise this
+    // is a full-corpus shingling pass (the most CPU-expensive per-row
+    // kernel in the engine) spent on rows the inner joins below would
+    // drop anyway. The participant set is bounded by 2×|pairs| ids
+    // (16 B each), so it broadcasts; if a corpus ever produced a pair
+    // set too large to broadcast, the same semi-join degrades to a
+    // shuffled hash join and the reduction still holds.
+    val participants = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id")))
+      .distinct()
     val sets = Tables.documents(spark, sfDir)
+      .join(broadcast(participants), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
-    val raw = minHashPairs(spark, sfDir)
+    val raw = pairs
       .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
       .join(sets.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
       .withColumn("common", size(array_intersect(col("sha"), col("shb"))).cast("long"))

@@ -77,6 +77,25 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("verified-pairs shingles only pair participants (semi-join below the kernel)") {
+    // The exact-Jaccard verifier must NOT shingle the whole corpus: the
+    // documents side is semi-joined down to the candidate-pair
+    // participants first, and the graft_shingles projection sits ABOVE
+    // that semi-join (tree printouts list parents first, so the kernel
+    // must appear before the first LeftSemi in the text — a
+    // full-corpus shingle pass would plan the kernel directly over the
+    // parquet scan with the semi-join absent or above it).
+    val plan = graft.operators.Dedup.lshVerified(spark, sf)
+      .queryExecution.optimizedPlan.toString()
+    val semi = plan.indexOf("LeftSemi")
+    val kernel = plan.indexOf("graft_shingles")
+    assert(semi >= 0, "participant semi-join missing:\n" + plan.take(1500))
+    assert(kernel >= 0, plan.take(1500))
+    assert(kernel < semi,
+      "shingle kernel must run on the semi-joined (participants-only) side:\n" +
+        plan.take(1500))
+  }
+
   test("capstone pipeline and resample plan equi-joins and partitioned windows only") {
     for (q <- Seq("q_pipeline_corpus", "q_resample_ffill")) {
       val plan = planOf(SparkEntry.queries(q)(spark, sf))
