@@ -8,8 +8,20 @@ object Bench {
     // Full per-query record (timings + shuffle/spill) goes to a SIDE
     // FILE: the driver's stdout tail window has truncated the head of
     // the inline per-query map two rounds running. Stdout keeps only
-    // the compact summary lines.
+    // the compact summary lines. The side file is ALSO written under a
+    // round-stamped name (bench_queries_r<N>.json) so per-query
+    // shuffle/spill history stays diffable across rounds without git
+    // archaeology — the round comes from SPARK_GRAFT_ROUND when set,
+    // else it is inferred as max(BENCH_r<N>.json in cwd) + 1 (the
+    // driver writes BENCH_r<N>.json only AFTER this run, so the
+    // inference names the round in progress).
     val sidePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDE", "bench_queries.json")
+    val roundTag: String = sys.env.get("SPARK_GRAFT_ROUND").getOrElse {
+      val re = "BENCH_r(\\d+)\\.json".r
+      val prev = Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+      if (prev.isEmpty) "unknown" else f"${prev.max + 1}%02d"
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,10 +33,28 @@ object Bench {
     def drain(): Unit =
       try org.apache.spark.graft.ListenerShim.drain(spark.sparkContext)
       catch { case _: java.util.concurrent.TimeoutException => () }
+    // Steal sentinel: a fixed single-threaded spin probe (50M LCG
+    // steps, no allocation, no calibration — the SAME work every
+    // round) timed immediately before every query attempt. On a quiet
+    // host every probe lands within noise of the fastest; a host
+    // CPU-steal window shows up as probes 2-20x the baseline ADJACENT
+    // to the slowed queries, so a cross-round "regression" whose
+    // probes also spiked is adjudicated environmental from the record
+    // alone (r6's 26x false regressions needed a judge re-run to
+    // clear).
+    val probeSink = new java.util.concurrent.atomic.AtomicLong
+    def spinProbeMs(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L; var i = 0
+      while (i < 50000000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+      probeSink.set(x) // publish so the loop cannot be dead-code eliminated
+      (System.nanoTime() - t0) / 1e6
+    }
     // Warm up session machinery (parquet reader init, codegen compiler,
     // JIT) on the sf0.001 flagship so the first timed query doesn't
     // absorb one-time setup cost.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    spinProbeMs() // JIT-warm the probe loop itself before any recorded probe
     // Build the memoized index frames (shingle index, MinHash
     // signatures, LSH pairs, clusters) BEFORE timing starts and charge
     // them to a separate `index_build` line — otherwise the first
@@ -51,7 +81,8 @@ object Bench {
       * average just cancels the counter's accumulation.
       */
     final case class QRes(name: String, min: Double, median: Double, runs: Int,
-        shuffleWriteMb: Double, shuffleReadMb: Double, spillMb: Double)
+        shuffleWriteMb: Double, shuffleReadMb: Double, spillMb: Double,
+        probesMs: Seq[Double])
 
     // Deterministic run order (sorted by name) so per-query timings are
     // comparable across rounds — Map iteration order is hash-dependent.
@@ -62,39 +93,63 @@ object Bench {
     // instead of their declared work. The noop sink evaluates every
     // output row/column and discards it.
     //
-    // Each query is timed up to THREE times: the per-query number is
-    // the MIN of the successful runs (this VM sees bursty host-level
-    // CPU steal with 10-20x outliers on trivial projections, and min
-    // rejects a stolen window) while the headline total sums the
+    // Each query is timed up to THREE times and the attempts are
+    // INTERLEAVED round-robin across queries (attempt 1 of all
+    // queries, then attempt 2, then attempt 3) rather than
+    // consecutive: r6 proved that one sustained host-steal window
+    // poisons all three consecutive runs of the queries inside it
+    // (26x false regressions), while interleaving spaces a query's
+    // attempts minutes apart so a single window can steal at most one
+    // sample — which min-of-3 then rejects. The per-query number is
+    // the MIN of the successful runs; the headline total sums the
     // per-query MEDIANS (a min-sum understates sustained cost; a
     // median tolerates one stolen window per query). Every run
     // re-executes the full plan — no result caching; only the
     // deliberately-persisted index frames above are warm, which is the
     // documented index-reuse behavior.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val nAttempts = 3
+    // samples(qi): successful (seconds, metrics-snapshot) attempts;
+    // probes(qi): the sentinel timing taken right before each attempt
+    // (recorded for failed attempts too — the probe is evidence about
+    // the host, not the query).
+    val samples = Array.fill(named.size)(
+      Vector.empty[(Double, (Long, Long, Long, Long))])
+    val probes = Array.fill(named.size)(Vector.empty[Double])
+    for (attempt <- 1 to nAttempts; ((name, fn), qi) <- named.zipWithIndex) {
+      probes(qi) :+= spinProbeMs()
       // One listener window PER ATTEMPT (reset → run → drain →
       // snapshot), and only SUCCESSFUL attempts contribute bytes: a
       // failed run still executes part of its plan, and folding those
       // partial bytes into an average over successful runs would
       // inflate the per-run shuffle/spill volumes.
-      def once(): Option[(Double, (Long, Long, Long, Long))] = {
-        drain(); metrics.reset()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              val dt = (System.nanoTime() - t0) / 1e9
-              drain()
-              Some((dt, metrics.snapshot())) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name run failed: $e"); None }
+      drain(); metrics.reset()
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        drain()
+        samples(qi) :+= ((dt, metrics.snapshot()))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name attempt $attempt failed: $e")
+        // A failed job can leave tasks in flight whose task-end events
+        // would bleed bytes into the NEXT attempt's listener window
+        // (drain only flushes queued events, it does not wait for
+        // running tasks) — cancel everything and drain again so the
+        // next reset starts clean.
+        try { spark.sparkContext.cancelAllJobs(); drain() }
+        catch { case _: Throwable => () }
       }
-      val attempts = (1 to 3).flatMap(_ => once())
+    }
+    val results = named.zipWithIndex.map { case ((name, _), qi) =>
+      val attempts = samples(qi)
       val ts = attempts.map(_._1).sorted
-      if (ts.isEmpty) QRes(name, -1.0, -1.0, 0, -1, -1, -1)
+      if (ts.isEmpty) QRes(name, -1.0, -1.0, 0, -1, -1, -1, probes(qi))
       else {
         def mb(f: ((Long, Long, Long, Long)) => Long) =
           attempts.map(a => f(a._2)).sum / 1e6 / ts.size
         QRes(name, ts.head, ts(ts.size / 2), ts.size,
-          mb(_._1), mb(_._2), mb(t => t._3 + t._4))
+          mb(_._1), mb(_._2), mb(t => t._3 + t._4), probes(qi))
       }
     }
     // Locale.ROOT: the f-interpolator honors the JVM default locale,
@@ -107,25 +162,40 @@ object Bench {
       .mkString("[", ",", "]")
     val totalMedian = ok.map(_.median).sum
     val totalMin = ok.map(_.min).sum
+    // Steal-sentinel summary: the global probe floor is the quiet-host
+    // baseline for this run; `steal_probes` counts probes above 2x the
+    // floor (evidence of contention windows during the run).
+    val allProbes = probes.toSeq.flatten.sorted
+    val probeFloor = allProbes.headOption.getOrElse(-1.0)
+    val probeMedian =
+      if (allProbes.isEmpty) -1.0 else allProbes(allProbes.size / 2)
+    val probeMax = allProbes.lastOption.getOrElse(-1.0)
+    val stealProbes = allProbes.count(_ > 2 * probeFloor)
     // Side file: the complete per-query record, one pretty-printed
-    // entry per query, timings AND shuffle/spill volumes.
+    // entry per query — timings, shuffle/spill volumes, and the three
+    // pre-attempt sentinel probes.
     val side = results.map { q =>
-      s"""  "${q.name}": {"min_s": ${r3(q.min)}, "median_s": ${r3(q.median)}, "runs": ${q.runs}, "shuffle_write_mb": ${r3(q.shuffleWriteMb)}, "shuffle_read_mb": ${r3(q.shuffleReadMb)}, "spill_mb": ${r3(q.spillMb)}}"""
+      val pr = q.probesMs.map(r3).mkString("[", ",", "]")
+      s"""  "${q.name}": {"min_s": ${r3(q.min)}, "median_s": ${r3(q.median)}, "runs": ${q.runs}, "shuffle_write_mb": ${r3(q.shuffleWriteMb)}, "shuffle_read_mb": ${r3(q.shuffleReadMb)}, "spill_mb": ${r3(q.spillMb)}, "probe_ms": $pr}"""
     }.mkString(
-      s"""{\n  "_meta": {"sf": "$sfDir", "cpus": $cpus, "action": "noop-write", "index_build_s": ${r3(indexBuild)}, "prewarm_ok": $prewarmOk, "total_median_s": ${r3(totalMedian)}, "total_min_s": ${r3(totalMin)}, "n_queries": ${results.size}, "errors": $errors, "reduced_sample": $reduced},\n""",
+      s"""{\n  "_meta": {"round": "$roundTag", "sf": "$sfDir", "cpus": $cpus, "action": "noop-write", "attempt_order": "round-robin", "index_build_s": ${r3(indexBuild)}, "prewarm_ok": $prewarmOk, "total_median_s": ${r3(totalMedian)}, "total_min_s": ${r3(totalMin)}, "n_queries": ${results.size}, "probe_floor_ms": ${r3(probeFloor)}, "probe_median_ms": ${r3(probeMedian)}, "probe_max_ms": ${r3(probeMax)}, "steal_probes": $stealProbes, "n_probes": ${allProbes.size}, "errors": $errors, "reduced_sample": $reduced},\n""",
       ",\n", "\n}\n")
-    java.nio.file.Files.write(java.nio.file.Paths.get(sidePath),
-      side.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sideBytes = side.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    java.nio.file.Files.write(java.nio.file.Paths.get(sidePath), sideBytes)
+    if (roundTag != "unknown") {
+      val stamped = sidePath.replaceAll("\\.json$", "") + s"_r$roundTag.json"
+      java.nio.file.Files.write(java.nio.file.Paths.get(stamped), sideBytes)
+    }
     // Compact stdout record, totals first; per-query MINs inline as
     // before (rounded to 3 decimals) so the record is self-contained
     // when the side file isn't collected.
     val qs = results
       .map { q => "\"" + q.name + "\":" + (if (q.runs > 0) r3(q.min) else "-1") }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(totalMedian)},"unit":"sec","sf":"$sfDir","action":"noop-write,median-of-3 total,min-of-3 per query","total_min":${r3(totalMin)},"index_build":${r3(indexBuild)},"prewarm_ok":$prewarmOk,"n_queries":${results.size},"errors":$errors,"reduced_sample":$reduced,"side_file":"$sidePath","queries":$qs}""")
+    println(s"""{"metric":"total","value":${r3(totalMedian)},"unit":"sec","sf":"$sfDir","action":"noop-write,round-robin attempts,median-of-3 total,min-of-3 per query","total_min":${r3(totalMin)},"index_build":${r3(indexBuild)},"prewarm_ok":$prewarmOk,"n_queries":${results.size},"probe_floor_ms":${r3(probeFloor)},"steal_probes":$stealProbes,"errors":$errors,"reduced_sample":$reduced,"side_file":"$sidePath","round":"$roundTag","queries":$qs}""")
     // Short summary repeated LAST: if the record above ever outgrows
     // the driver's tail window again, the totals still land intact.
-    println(s"""{"metric":"total","value":${r3(totalMedian)},"unit":"sec","sf":"$sfDir","total_min":${r3(totalMin)},"index_build":${r3(indexBuild)},"prewarm_ok":$prewarmOk,"n_queries":${results.size},"errors":$errors,"side_file":"$sidePath"}""")
+    println(s"""{"metric":"total","value":${r3(totalMedian)},"unit":"sec","sf":"$sfDir","total_min":${r3(totalMin)},"index_build":${r3(indexBuild)},"prewarm_ok":$prewarmOk,"n_queries":${results.size},"probe_floor_ms":${r3(probeFloor)},"steal_probes":$stealProbes,"errors":$errors,"side_file":"$sidePath"}""")
     spark.stop()
   }
 }
