@@ -33,13 +33,26 @@ import graft.Tables
 object Multimodal {
 
   case class MediaItem(id: Long, payload: Array[Byte], mime: String, n_chars: Long)
+
+  /** Decoded features. `kind` records which decoder actually ran:
+    * "image" (real ImageIO decode), "audio" (real WAV header/PCM
+    * parse), or "other" (the deterministic stub — text, video, and
+    * corrupt payloads). Image features land in width/height/n_frames;
+    * audio features in sample_rate_hz/channels/duration_ms with
+    * n_frames = PCM sample-frame count; stub payloads keep the
+    * historical stub triple and zero audio fields.
+    */
   case class MediaFeatures(
       id: Long,
       n_bytes: Int,
       checksum: Long,
+      kind: String,
       width: Int,
       height: Int,
-      n_frames: Int)
+      n_frames: Int,
+      sample_rate_hz: Int,
+      channels: Int,
+      duration_ms: Long)
 
   /** Media decoder: real image decode, deterministic stub otherwise.
     *
@@ -72,6 +85,11 @@ object Multimodal {
         (sig(p, 0) == 'G' && sig(p, 1) == 'I' && sig(p, 2) == 'F') || // GIF
         (sig(p, 0) == 'B' && sig(p, 1) == 'M') // BMP
 
+    /** RIFF/WAVE container signature: "RIFF" at 0, "WAVE" at 8. */
+    private[graft] def isWav(p: Array[Byte]): Boolean =
+      sig(p, 0) == 'R' && sig(p, 1) == 'I' && sig(p, 2) == 'F' && sig(p, 3) == 'F' &&
+        sig(p, 8) == 'W' && sig(p, 9) == 'A' && sig(p, 10) == 'V' && sig(p, 11) == 'E'
+
     /** Deterministic stand-in for codecs not present in this container
       * (audio/video) and the fallback for undecodable image bytes.
       */
@@ -98,9 +116,14 @@ object Multimodal {
       * unparseable.
       */
     private def headerDims(payload: Array[Byte]): Option[(Int, Int)] = {
+      // createImageInputStream may return null per its contract —
+      // honor this helper's own "None when no reader matches" promise
+      // instead of NPE-ing in the finally and relying on a caller's
+      // catch to route to the stub.
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      try {
+      if (iis == null) None
+      else try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) None
         else {
@@ -112,22 +135,68 @@ object Multimodal {
       finally iis.close()
     }
 
+    /** Full image decode behind the bomb guard: the decoded raster
+      * when the payload is a sane, decodable image; None otherwise.
+      * Shared by the feature, resize, and embed paths so "decodable"
+      * means exactly one thing engine-wide.
+      */
+    private[graft] def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (!isImage(payload)) None
+      else try {
+        headerDims(payload) match {
+          case Some((w, h)) if w > 0 && h > 0 && w.toLong * h <= MaxImagePixels =>
+            // Header is sane — now the full decode is safe to
+            // attempt, and still required: a valid header on a
+            // truncated body must degrade to the stub (corrupt
+            // media must not report real-looking features).
+            Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+          case _ => None
+        }
+      } catch { case _: Exception => None }
+
     def decode(payload: Array[Byte]): (Int, Int, Int) =
-      if (isImage(payload)) {
-        try {
-          headerDims(payload) match {
-            case Some((w, h))
-                if w > 0 && h > 0 && w.toLong * h <= MaxImagePixels =>
-              // Header is sane — now the full decode is safe to
-              // attempt, and still required: a valid header on a
-              // truncated body must degrade to the stub (corrupt
-              // media must not report real-looking features).
-              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-              if (img != null) (img.getWidth, img.getHeight, 1) else stub(payload)
-            case _ => stub(payload)
+      decodeImage(payload) match {
+        case Some(img) => (img.getWidth, img.getHeight, 1)
+        case None => stub(payload)
+      }
+
+    /** Real WAV decode via `javax.sound.sampled` (JDK `java.desktop`
+      * module, zero extra deps): header/PCM-format parse only — the
+      * sample data itself is never buffered, so cost is O(header)
+      * regardless of payload size. Returns (sample_rate_hz, channels,
+      * sample_frames, duration_ms); None when the RIFF signature lies
+      * (truncated/corrupt payloads degrade to the stub like images do).
+      */
+    private[graft] def decodeWav(payload: Array[Byte]): Option[(Int, Int, Int, Long)] =
+      if (!isWav(payload)) None
+      else try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = aff.getFormat
+        val frames = aff.getFrameLength
+        val rate = fmt.getSampleRate
+        if (frames < 0 || rate <= 0 || fmt.getChannels <= 0) None
+        else Some((math.round(rate), fmt.getChannels, frames,
+          math.round(frames * 1000.0 / rate)))
+      } catch { case _: Exception => None }
+
+    /** Unified dispatch: which decoder ran ("image" / "audio" /
+      * "other"-stub) plus that decoder's real features. Field layout
+      * documented on [[MediaFeatures]].
+      */
+    private[graft] def decodeMedia(payload: Array[Byte])
+        : (String, Int, Int, Int, Int, Int, Long) =
+      decodeImage(payload) match {
+        case Some(img) => ("image", img.getWidth, img.getHeight, 1, 0, 0, 0L)
+        case None =>
+          decodeWav(payload) match {
+            case Some((rate, ch, frames, durMs)) =>
+              ("audio", 0, 0, frames, rate, ch, durMs)
+            case None =>
+              val (w, h, f) = stub(payload)
+              ("other", w, h, f, 0, 0, 0L)
           }
-        } catch { case _: Exception => stub(payload) }
-      } else stub(payload)
+      }
   }
 
   /** documents.text → media frame: payload = utf-8 bytes, metadata
@@ -174,9 +243,9 @@ object Multimodal {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       it.map { m =>
-        val (w, h, f) = Decoder.decode(m.payload)
+        val (kind, w, h, f, rate, ch, durMs) = Decoder.decodeMedia(m.payload)
         val checksum = m.payload.foldLeft(0L)((acc, b) => acc * 31 + (b & 0xff))
-        MediaFeatures(m.id, m.payload.length, checksum, w, h, f)
+        MediaFeatures(m.id, m.payload.length, checksum, kind, w, h, f, rate, ch, durMs)
       }
     }
   }
@@ -190,36 +259,78 @@ object Multimodal {
   final case class ResizedItem(id: Long, payload: Array[Byte], width: Int, height: Int)
   final case class MediaEmbedding(id: Long, embedding: Array[Float])
 
-  /** Resize stub: production would re-encode pixels; the stub
-    * truncates/pads the payload to `w*h` bytes deterministically.
-    * Shape contract (what a real codec swap must preserve): one output
-    * row per input row, payload size exactly w*h, constant metadata.
+  /** Resize: REAL raster scaling for decodable image payloads —
+    * decode, `Graphics2D.drawImage` onto a w×h canvas with bilinear
+    * interpolation, re-encode as PNG — so the output payload is a
+    * true image whose decoded dimensions are exactly (w, h). Payloads
+    * no image codec handles (text, audio, video) keep the
+    * deterministic truncate/pad stub: payload size exactly w*h bytes.
+    * Shape contract either way: one output row per input row, decoded
+    * (or declared) dimensions = (w, h), corrupt media degrades rather
+    * than killing the partition.
     */
   def resize(items: Dataset[MediaItem], w: Int, h: Int): Dataset[ResizedItem] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       it.map { m =>
-        val out = java.util.Arrays.copyOf(m.payload, w * h)
+        val out = Decoder.decodeImage(m.payload) match {
+          case Some(img) =>
+            val dst = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            bos.toByteArray
+          case None => java.util.Arrays.copyOf(m.payload, w * h)
+        }
         ResizedItem(m.id, out, w, h)
       }
     }
   }
 
-  /** Feature-extraction stub: payload bytes → fixed 16-dim float
-    * embedding (byte-bucket histogram, L1-normalized) — a
-    * deterministic stand-in for a vision encoder. Output plugs
-    * directly into the Similarity operators (same `array<float>`
-    * shape as `embeddings.embedding`), so media near-dup mining runs
-    * through the exact ANN path text embeddings use.
+  /** Feature extraction: fixed `dim`-bucket float histogram,
+    * L1-normalized — over DECODED PIXEL luminance (ITU-R BT.601
+    * integer weights) for image payloads, over raw bytes otherwise —
+    * a deterministic stand-in for a vision encoder that nonetheless
+    * sees real pixel space: the same image re-encoded (PNG vs BMP)
+    * embeds identically, which a byte histogram cannot do. Output
+    * plugs directly into the Similarity operators (same
+    * `array<float>` shape as `embeddings.embedding`), so media
+    * near-dup mining runs through the exact ANN path text embeddings
+    * use.
     */
   def embed(items: Dataset[MediaItem], dim: Int = 16): Dataset[MediaEmbedding] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       it.map { m =>
         val hist = new Array[Float](dim)
-        m.payload.foreach(b => hist((b & 0xff) % dim) += 1f)
-        val n = math.max(1f, m.payload.length.toFloat)
-        MediaEmbedding(m.id, hist.map(_ / n))
+        val n = Decoder.decodeImage(m.payload) match {
+          case Some(img) =>
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                  114 * (rgb & 0xff)) / 1000
+                hist(lum * dim / 256) += 1f
+                x += 1
+              }
+              y += 1
+            }
+            img.getWidth.toLong * img.getHeight
+          case None =>
+            m.payload.foreach(b => hist((b & 0xff) % dim) += 1f)
+            m.payload.length.toLong
+        }
+        val denom = math.max(1L, n).toFloat
+        MediaEmbedding(m.id, hist.map(_ / denom))
       }
     }
   }

@@ -467,6 +467,101 @@ class OperatorSpec extends SparkSpec {
     assert(Decoder.decode(png(37, 23)) == ((37, 23, 1)))
   }
 
+  /** Deterministic WAV fixture: 16-bit mono PCM, encoded by the JDK's
+    * own writer so the bytes are a real RIFF/WAVE container.
+    */
+  private def wavFixture(rateHz: Int, channels: Int, frames: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rateHz.toFloat, 16, channels, true, false)
+    val pcm = Array.tabulate(frames * channels * 2)(i => (i * 37 % 251).toByte)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real WAV bytes decode to true sample-rate/channels/duration via javax.sound") {
+    import graft.operators.Multimodal._
+    // 8 kHz mono, 4000 frames -> exactly 500 ms.
+    val wav = wavFixture(8000, 1, 4000)
+    assert(Decoder.isWav(wav) && !Decoder.isImage(wav))
+    assert(Decoder.decodeWav(wav).contains((8000, 1, 4000, 500L)))
+    // Stereo at a different rate: channel count and duration rescale.
+    val stereo = wavFixture(16000, 2, 8000)
+    assert(Decoder.decodeWav(stereo).contains((16000, 2, 8000, 500L)))
+    // Truncated container (signature intact, fmt chunk gone) must
+    // degrade to the stub, not throw.
+    val truncated = wav.take(16)
+    assert(Decoder.isWav(truncated))
+    assert(Decoder.decodeWav(truncated).isEmpty)
+
+    // End-to-end through the typed decode path: the audio branch
+    // reports real features, the truncated payload takes the stub.
+    val feats = decodeFeatures(Seq(
+      MediaItem(1L, wav, "audio/wav", wav.length.toLong),
+      MediaItem(2L, truncated, "audio/wav", 16L)).toDS())
+      .collect().map(f => f.id -> f).toMap
+    val a = feats(1L)
+    assert((a.kind, a.sample_rate_hz, a.channels, a.n_frames, a.duration_ms) ==
+      (("audio", 8000, 1, 4000, 500L)))
+    val t = feats(2L)
+    val (sw, sh, sfr) = Decoder.stub(truncated)
+    assert((t.kind, t.width, t.height, t.n_frames) == (("other", sw, sh, sfr)))
+    assert((t.sample_rate_hz, t.channels, t.duration_ms) == ((0, 0, 0L)))
+  }
+
+  test("resize is a real raster scale for images, the byte stub otherwise") {
+    import graft.operators.Multimodal._
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val items = Seq(
+      MediaItem(1L, png(40, 20), "image/png", 0L),
+      MediaItem(2L, "just text, no codec".getBytes("UTF-8"), "text/plain", 19L)).toDS()
+    val rs = resize(items, 8, 4).collect().sortBy(_.id).toSeq
+    assert(rs.map(r => (r.width, r.height)) == Seq((8, 4), (8, 4)))
+    // Image payload: output is a REAL re-encoded image whose decoded
+    // dimensions are exactly the requested raster.
+    val out = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rs.head.payload))
+    assert(out != null && (out.getWidth, out.getHeight) == ((8, 4)))
+    // Non-image payload keeps the deterministic truncate/pad stub.
+    assert(rs(1).payload.length == 8 * 4)
+    // Deterministic: same input, same bytes.
+    val again = resize(items, 8, 4).collect().sortBy(_.id)
+    assert(rs.head.payload.toSeq == again.head.payload.toSeq)
+  }
+
+  test("embed reads pixel space for images: PNG and BMP of one raster embed identically") {
+    import graft.operators.Multimodal._
+    val img = new java.awt.image.BufferedImage(
+      32, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 32).foreach(x => (0 until 16).foreach(y =>
+      img.setRGB(x, y, (x * 97 + y * 13) & 0xffffff)))
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val pngB = enc("png"); val bmpB = enc("bmp")
+    assert(pngB.toSeq != bmpB.toSeq) // genuinely different bytes...
+    val es = embed(Seq(
+      MediaItem(1L, pngB, "image/png", 0L),
+      MediaItem(2L, bmpB, "image/bmp", 0L)).toDS())
+      .collect().map(e => e.id -> e.embedding.toSeq).toMap
+    // ...but identical decoded pixels => identical embeddings, which
+    // the old byte-bucket histogram could not deliver.
+    assert(es(1L) == es(2L))
+    assert(math.abs(es(1L).sum - 1f) < 1e-5)
+  }
+
   // --- as-of join ------------------------------------------------------
 
   test("as-of join: latest right row at-or-before, inclusive, tie-broken") {
