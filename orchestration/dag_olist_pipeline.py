@@ -3,10 +3,13 @@ with the reference's nine DAGs (one per table + the gold job), each of
 which ran eager pandas inside PythonOperators with /tmp handoffs.
 
 Here Airflow only LAUNCHES Spark (BASELINE.json "spark_approach"):
-one SparkSubmitOperator runs the whole bronze->silver->gold flow
-(graft.tools.RunPipeline); per-table scheduling is unnecessary because
-the eight ingest jobs are independent Spark jobs inside one
-application, parallelized by the scheduler rather than by Airflow.
+one SparkSubmitOperator per pipeline stage, each invoking
+`graft.tools.RunPipeline <stage>` — per-table scheduling is
+unnecessary because the eight ingest jobs are independent Spark jobs
+inside one application, parallelized by the scheduler rather than by
+Airflow. The same three stages run scheduler-less in CI via
+`orchestration/run_dag_ci.py` (plain spark-submit subprocesses against
+a fixture bronze layer + embedded Derby as the TB_VENDAS mirror).
 
 Not executed in this container (no Airflow installation) — an
 orchestration artifact documenting the deployment shape.
@@ -18,22 +21,43 @@ from airflow.providers.apache.spark.operators.spark_submit import (
     SparkSubmitOperator,
 )
 
+S3A_CONF = {
+    "spark.hadoop.fs.s3a.endpoint": "{{ var.value.minio_endpoint }}",
+    "spark.hadoop.fs.s3a.path.style.access": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
 with DAG(
     dag_id="graft_olist_pipeline",
     start_date=datetime(2024, 1, 1),
     schedule_interval="@once",  # parity with the reference's @once DAGs
     catchup=False,
 ) as dag:
-    run_pipeline = SparkSubmitOperator(
-        task_id="bronze_to_gold",
+    ingest = SparkSubmitOperator(
+        task_id="bronze_to_silver",
+        application="graft-assembly.jar",
+        java_class="graft.tools.RunPipeline",
+        application_args=["ingest", "s3a://bronze", "s3a://silver"],
+        conf=S3A_CONF,
+    )
+    gold = SparkSubmitOperator(
+        task_id="silver_to_gold",
         application="graft-assembly.jar",
         java_class="graft.tools.RunPipeline",
         application_args=[
-            "s3a://bronze", "s3a://silver", "s3a://gold",
+            "gold", "s3a://silver", "s3a://gold",
+            "{{ var.value.mysql_jdbc_url }}", "TB_VENDAS",
         ],
-        conf={
-            "spark.hadoop.fs.s3a.endpoint": "{{ var.value.minio_endpoint }}",
-            "spark.hadoop.fs.s3a.path.style.access": "true",
-            "spark.sql.session.timeZone": "UTC",
-        },
+        conf=S3A_CONF,
     )
+    check = SparkSubmitOperator(
+        task_id="gold_check",
+        application="graft-assembly.jar",
+        java_class="graft.tools.RunPipeline",
+        application_args=[
+            "check", "s3a://gold",
+            "{{ var.value.mysql_jdbc_url }}", "TB_VENDAS",
+        ],
+        conf=S3A_CONF,
+    )
+    ingest >> gold >> check

@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""CI-fashion executor for the graft Olist DAG — the
+`dag_olist_pipeline.py` stages run as plain subprocesses (no
+scheduler): real `spark-submit` per stage, exactly what each
+SparkSubmitOperator launches in production, against a fixture bronze
+layer.
+
+Stages (mirroring the DAG task graph):
+  1. spark-submit graft.tools.RunPipeline ingest  <bronze> <silver>
+  2. spark-submit graft.tools.RunPipeline gold    <silver> <gold> <derby-url> TB_VENDAS
+  3. spark-submit graft.tools.RunPipeline check   <gold> <derby-url> TB_VENDAS
+
+The check stage asserts the gold mart parquet AND the JDBC mirror
+(embedded Derby standing in for the reference's MySQL `TB_VENDAS`)
+both materialize with the same non-zero row count.
+
+Usage:
+  python3 orchestration/run_dag_ci.py [workdir]
+
+Expects `sbt package` to have produced the library jar (the script
+builds it if absent). Exit code 0 = all stages OK.
+"""
+import glob
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = "/opt/spark/bin/spark-submit"
+
+# The same 8-table bronze fixture family OlistPipelineSpec uses —
+# the reference's declared bronze schemas (FIXTURES.md §B).
+BRONZE = {
+    "olist/customers": [
+        "customer_id,customer_unique_id,customer_zip_code_prefix,customer_city,customer_state",
+        "c1,u1,01310,sao paulo,SP",
+        "c2,u2,20040,rio de janeiro,RJ"],
+    "olist/sellers": [
+        "seller_id,seller_zip_code_prefix,seller_city,seller_state",
+        "s1,04536,sao paulo,SP"],
+    "olist/geolocation": [
+        "geolocation_zip_code_prefix,geolocation_lat,geolocation_lng,geolocation_city,geolocation_state",
+        "01310,-23.56,-46.65,sao paulo,SP"],
+    "olist/products": [
+        "product_id,product_category_name,product_name_lenght,product_description_lenght,"
+        "product_photos_qty,product_weight_g,product_length_cm,product_height_cm,product_width_cm",
+        "p1,cama_mesa_banho,40,280,1,750,30,10,20",
+        "p2,informatica_acessorios,50,300,2,250,20,5,15"],
+    "olist/order_payments": [
+        "order_id,payment_sequential,payment_type,payment_installments,payment_value",
+        "o1,1,credit_card,3,100.50",
+        "o1,2,voucher,1,20.00",
+        "o2,1,boleto,1,59.90"],
+    "olist/orders": [
+        "order_id,customer_id,order_status,order_purchase_timestamp,order_approved_at,"
+        "order_delivered_carrier_date,order_delivered_customer_date,order_estimated_delivery_date",
+        "o1,c1,delivered,2017-10-02 10:56:33,2017-10-02 11:07:15,2017-10-04 19:55:00,"
+        "2017-10-10 21:25:13,2017-10-18 00:00:00",
+        "o2,c2,shipped,2018-01-14 14:33:31,2018-01-14 14:48:30,,,2018-02-05 00:00:00",
+        "o3,c1,created,2018-03-01 09:00:00,,,,2018-03-20 00:00:00"],
+    "olist/order_items": [
+        "order_id,order_item_id,product_id,seller_id,shipping_limit_date,price,freight_value",
+        "o1,1,p1,s1,2017-10-06 11:07:15,58.90,13.29",
+        "o1,2,p2,s1,2017-10-06 11:07:15,239.90,19.93",
+        "o2,1,p1,s1,2018-01-18 14:48:30,199.00,17.87"],
+    "olist/order_reviews": [
+        "review_id,order_id,review_score,review_comment_title,review_comment_message,"
+        "review_creation_date,review_answer_timestamp",
+        "r1,o1,5,,otimo,2017-10-11 00:00:00,2017-10-12 03:43:48"],
+}
+
+
+def jar_path():
+    jars = glob.glob(f"{REPO}/target/scala-2.13/*_2.13-*.jar")
+    if not jars:
+        print("== building library jar (sbt package) ==")
+        subprocess.run(["sbt", "-batch", "package"], cwd=REPO, check=True)
+        jars = glob.glob(f"{REPO}/target/scala-2.13/*_2.13-*.jar")
+    assert jars, "sbt package produced no jar"
+    return max(jars, key=os.path.getmtime)
+
+
+def spark_submit(jar, marker, *args):
+    cmd = [SPARK_SUBMIT, "--master", "local[4]",
+           "--class", "graft.tools.RunPipeline",
+           "--conf", "spark.ui.enabled=false",
+           "--conf", "spark.sql.session.timeZone=UTC",
+           jar, *args]
+    print("== spark-submit", *args, "==", flush=True)
+    res = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+    tail = "\n".join((res.stdout + res.stderr).splitlines()[-15:])
+    if res.returncode != 0 or marker not in res.stdout:
+        print(tail)
+        raise SystemExit(f"stage failed (rc={res.returncode}, "
+                         f"marker {marker!r} {'found' if marker in res.stdout else 'missing'})")
+    print([ln for ln in res.stdout.splitlines() if marker in ln][0])
+
+
+def main():
+    work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_dag_ci"
+    shutil.rmtree(work, ignore_errors=True)
+    bronze, silver, gold = (os.path.join(work, d)
+                            for d in ("bronze", "silver", "gold"))
+    for prefix, lines in BRONZE.items():
+        d = os.path.join(bronze, prefix)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "data.csv"), "w") as f:
+            f.write("\n".join(lines))
+    derby = f"jdbc:derby:{work}/vendas_db;create=true"
+
+    jar = jar_path()
+    spark_submit(jar, "STAGE OK ingest", "ingest", bronze, silver)
+    spark_submit(jar, "STAGE OK gold", "gold", silver, gold, derby, "TB_VENDAS")
+    spark_submit(jar, "STAGE OK check", "check", gold, derby, "TB_VENDAS")
+    print("== DAG CI RUN OK ==")
+
+
+if __name__ == "__main__":
+    main()

@@ -2,34 +2,79 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-import graft.sources.{IngestJob, OlistVendas}
+import graft.sources.{IngestJob, OlistVendas, Sinks}
 
-/** CLI entry running the reference's entire pipeline end-to-end:
-  * all eight bronze→silver ingest jobs, then the silver→gold vendas
-  * mart — the spark-submit job an Airflow DAG would launch per
-  * BASELINE.json's "spark_approach" (one `SparkSubmitOperator` replaces
-  * each reference DAG's extract/transform/load/clean task chain).
+/** CLI entry for the reference's pipeline, shaped like the Airflow
+  * deployment (`orchestration/dag_olist_pipeline.py`): each DAG task is
+  * one spark-submit of this class with a stage subcommand — exactly
+  * what a `SparkSubmitOperator` per stage launches, and what
+  * `orchestration/run_dag_ci.py` drives as plain subprocesses in CI.
   *
-  *   sbt "runMain graft.tools.RunPipeline <bronzeRoot> <silverRoot> <goldRoot>"
+  *   RunPipeline ingest <bronzeRoot> <silverRoot>
+  *     all eight bronze→silver ingest jobs (the reference's per-table
+  *     extract/transform/load DAG chains).
+  *   RunPipeline gold <silverRoot> <goldRoot> [jdbcUrl table]
+  *     silver→gold vendas mart parquet, plus the full-replace JDBC
+  *     mirror when a target is given (the reference's MySQL
+  *     `TB_VENDAS`, `s2g/vendas.py:173-180`).
+  *   RunPipeline check <goldRoot> <jdbcUrl> <table>
+  *     CI assertion stage: the gold mart parquet and the JDBC mirror
+  *     must both materialize, be non-empty, and agree on row count.
+  *   RunPipeline <bronzeRoot> <silverRoot> <goldRoot>
+  *     legacy single-application form (ingest + gold, no JDBC).
   *
   * Roots may be local paths or s3a:// URIs (MinIO: set fs.s3a.endpoint
   * + path-style access in spark-defaults); the code path is identical.
   */
 object RunPipeline {
-  def main(args: Array[String]): Unit = {
-    require(args.length == 3,
-      "usage: RunPipeline <bronzeRoot> <silverRoot> <goldRoot>")
-    val Array(bronze, silver, gold) = args
+  private def withSpark(body: SparkSession => Unit): Unit = {
     val spark = SparkSession.builder()
       .appName("graft-olist-pipeline")
       // spark-submit provides spark.master; default for direct runs.
       .config("spark.master", sys.props.getOrElse("spark.master", "local[*]"))
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    try {
-      IngestJob.runAll(spark, bronze, silver)
-      OlistVendas.run(spark, silver, gold)
-      println(s"PIPELINE OK bronze=$bronze silver=$silver gold=$gold")
-    } finally spark.stop()
+    try body(spark) finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "ingest" :: bronze :: silver :: Nil =>
+      withSpark { s =>
+        IngestJob.runAll(s, bronze, silver)
+        println(s"STAGE OK ingest bronze=$bronze silver=$silver")
+      }
+    case "gold" :: silver :: gold :: rest if rest.length == 0 || rest.length == 2 =>
+      withSpark { s =>
+        val jdbc = rest match {
+          case url :: table :: Nil => Some(Sinks.JdbcTarget(url, table, "", ""))
+          case _ => None
+        }
+        OlistVendas.run(s, silver, gold, jdbc)
+        println(s"STAGE OK gold silver=$silver gold=$gold jdbc=${jdbc.map(_.table)}")
+      }
+    case "check" :: gold :: url :: table :: Nil =>
+      withSpark { s =>
+        val mart = s.read.parquet(s"$gold/olist/vendas")
+        val nGold = mart.count()
+        val nJdbc = s.read.format("jdbc")
+          .option("url", url).option("dbtable", table).load().count()
+        require(nGold > 0, s"gold mart is empty at $gold/olist/vendas")
+        require(nGold == nJdbc,
+          s"gold parquet ($nGold rows) and JDBC mirror ($nJdbc rows) disagree")
+        println(s"STAGE OK check rows=$nGold table=$table")
+      }
+    case bronze :: silver :: gold :: Nil =>
+      withSpark { s =>
+        IngestJob.runAll(s, bronze, silver)
+        OlistVendas.run(s, silver, gold)
+        println(s"PIPELINE OK bronze=$bronze silver=$silver gold=$gold")
+      }
+    case _ =>
+      System.err.println(
+        """usage: RunPipeline ingest <bronzeRoot> <silverRoot>
+          |       RunPipeline gold <silverRoot> <goldRoot> [jdbcUrl table]
+          |       RunPipeline check <goldRoot> <jdbcUrl> <table>
+          |       RunPipeline <bronzeRoot> <silverRoot> <goldRoot>""".stripMargin)
+      sys.exit(2)
   }
 }
