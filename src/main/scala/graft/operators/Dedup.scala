@@ -351,15 +351,19 @@ object Dedup {
     // participant ids BEFORE the shingle kernel runs — otherwise this
     // is a full-corpus shingling pass (the most CPU-expensive per-row
     // kernel in the engine) spent on rows the inner joins below would
-    // drop anyway. The participant set is bounded by 2×|pairs| ids
-    // (16 B each), so it broadcasts; if a corpus ever produced a pair
-    // set too large to broadcast, the same semi-join degrades to a
-    // shuffled hash join and the reduction still holds.
+    // drop anyway. No explicit broadcast hint: a hint is ALWAYS
+    // honored (it bypasses autoBroadcastJoinThreshold), so on a
+    // pathological high-dup corpus — clusters of size k emit O(k²)
+    // pairs — it would collect hundreds of millions of participant
+    // ids to the driver and OOM. The set is 16 B/row off an
+    // already-materialized persisted frame, so AQE's runtime stats
+    // broadcast it whenever it actually fits and keep a shuffled
+    // semi-join when it doesn't; the input reduction holds either way.
     val participants = pairs.select(col("a_id").as("doc_id"))
       .union(pairs.select(col("b_id").as("doc_id")))
       .distinct()
     val sets = Tables.documents(spark, sfDir)
-      .join(broadcast(participants), Seq("doc_id"), "left_semi")
+      .join(participants, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingleSet(col("text"), 3).as("sh"))
     val raw = pairs
       .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))

@@ -309,28 +309,39 @@ object Multimodal {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
       it.map { m =>
-        val hist = new Array[Float](dim)
+        // Counts accumulate in Long, not Float: a 36 MPix mostly-uniform
+        // image (well under the 64 MPix bomb guard) puts >2^24 pixels in
+        // one bucket, where `+= 1f` silently stops counting and the L1
+        // norm drifts below 1.
+        val hist = new Array[Long](dim)
         val n = Decoder.decodeImage(m.payload) match {
           case Some(img) =>
+            val w = img.getWidth
+            // Row-bulk getRGB: one ColorModel conversion per row into a
+            // reused buffer instead of a per-pixel getRGB(x, y) call —
+            // identical ARGB values, ~an order of magnitude less call
+            // overhead on the per-row hot path.
+            val row = new Array[Int](w)
             var y = 0
             while (y < img.getHeight) {
+              img.getRGB(0, y, w, 1, row, 0, w)
               var x = 0
-              while (x < img.getWidth) {
-                val rgb = img.getRGB(x, y)
+              while (x < w) {
+                val rgb = row(x)
                 val lum = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
                   114 * (rgb & 0xff)) / 1000
-                hist(lum * dim / 256) += 1f
+                hist(lum * dim / 256) += 1L
                 x += 1
               }
               y += 1
             }
-            img.getWidth.toLong * img.getHeight
+            w.toLong * img.getHeight
           case None =>
-            m.payload.foreach(b => hist((b & 0xff) % dim) += 1f)
+            m.payload.foreach(b => hist((b & 0xff) % dim) += 1L)
             m.payload.length.toLong
         }
-        val denom = math.max(1L, n).toFloat
-        MediaEmbedding(m.id, hist.map(_ / denom))
+        val denom = math.max(1L, n).toDouble
+        MediaEmbedding(m.id, hist.map(c => (c / denom).toFloat))
       }
     }
   }

@@ -55,10 +55,18 @@ DIGIT = "0123456789"
 def caesar_table(shard):
     if shard == 0:
         return None
+    # Rotation amounts cycle over 1..25 / 1..9 (never 0): a plain
+    # `shard % 26` degenerates to the identity at shard 26 (and
+    # `shard % 10` at shard 10), which would make those shards
+    # near-duplicates of shard 0 and blow up cross-shard near-dup
+    # pair counts quadratically — the exact artifact this generator
+    # exists to avoid.
+    rl = 1 + (shard - 1) % 25
+    rd = 1 + (shard - 1) % 9
     rot = (
-        LOWER[shard % 26:] + LOWER[:shard % 26]
-        + UPPER[shard % 26:] + UPPER[:shard % 26]
-        + DIGIT[shard % 10:] + DIGIT[:shard % 10])
+        LOWER[rl:] + LOWER[:rl]
+        + UPPER[rl:] + UPPER[:rl]
+        + DIGIT[rd:] + DIGIT[:rd])
     return str.maketrans(LOWER + UPPER + DIGIT, rot)
 
 
