@@ -562,6 +562,28 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(es(1L).sum - 1f) < 1e-5)
   }
 
+  test("embed histogram survives >2^24 pixels in one luminance bucket") {
+    import graft.operators.Multimodal._
+    // 5000x4000 uniform image: 20M pixels land in ONE bucket — past
+    // 2^24 a Float accumulator's += 1f becomes a no-op (ULP > 1) and
+    // the L1 norm silently drops below 1. The Long accumulator must
+    // keep the histogram exactly normalized. Uniform content keeps
+    // the PNG payload tiny; only the decoded raster is large.
+    val w = 5000; val h = 4000
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(java.awt.Color.WHITE); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val e = embed(Seq(MediaItem(1L, bos.toByteArray, "image/png", 0L)).toDS())
+      .collect().head.embedding
+    // All mass in the top-luminance bucket, norm exactly 1.
+    assert(math.abs(e.sum - 1f) < 1e-6, s"L1 norm drifted: ${e.sum}")
+    assert(e.last == 1f && e.init.forall(_ == 0f), e.toSeq.toString)
+  }
+
   // --- as-of join ------------------------------------------------------
 
   test("as-of join: latest right row at-or-before, inclusive, tie-broken") {
