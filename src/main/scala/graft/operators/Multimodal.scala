@@ -18,13 +18,15 @@ import graft.Tables
   *   - decode runs per-partition (`mapPartitions` on a typed Dataset):
   *     one decoder instance per partition, batched iteration, no
   *     per-row setup cost — the Scala analogue of `mapInPandas`;
-  *   - the codec is REAL for images (`javax.imageio`, which ships in
-  *     the JDK: PNG/JPEG/GIF/BMP decode to true width x height) and a
-  *     deterministic stub for audio/video payloads (those codecs are
-  *     not in this container). Corrupt or truncated image bytes fall
-  *     back to the stub instead of failing the partition — routine
-  *     hygiene at 100 TB, where some fraction of crawled media is
-  *     always malformed.
+  *   - decode is REAL for images (`javax.imageio`, which ships in
+  *     the JDK: PNG/JPEG/GIF/BMP decode to true width x height), for
+  *     WAV audio (`javax.sound.sampled` header/PCM-format parse), and
+  *     for MP4 video container headers (ISO-BMFF box walk: true
+  *     dims/frame-count/duration; frame PIXEL decode would need codecs
+  *     this container lacks). Everything else — text payloads, corrupt
+  *     media — takes the deterministic stub: degrade, never fail the
+  *     partition, which is routine hygiene at 100 TB where some
+  *     fraction of crawled media is always malformed.
   *
   * The SQL-expressible slice (byte length, content hash, frame-offset
   * sampling) is registered as oracle-checked queries; the typed
@@ -36,11 +38,14 @@ object Multimodal {
 
   /** Decoded features. `kind` records which decoder actually ran:
     * "image" (real ImageIO decode), "audio" (real WAV header/PCM
-    * parse), or "other" (the deterministic stub — text, video, and
-    * corrupt payloads). Image features land in width/height/n_frames;
-    * audio features in sample_rate_hz/channels/duration_ms with
-    * n_frames = PCM sample-frame count; stub payloads keep the
-    * historical stub triple and zero audio fields.
+    * parse), "video" (real MP4/ISO-BMFF container-header parse), or
+    * "other" (the deterministic stub — text and corrupt payloads).
+    * Image features land in width/height/n_frames; audio features in
+    * sample_rate_hz/channels/duration_ms with n_frames = PCM
+    * sample-frame count; video features in width/height (track
+    * header), n_frames (stts sample count) and duration_ms (movie
+    * header); stub payloads keep the historical stub triple and zero
+    * audio fields.
     */
   case class MediaFeatures(
       id: Long,
@@ -65,9 +70,13 @@ object Multimodal {
     *   - image signatures (PNG / JPEG / GIF / BMP) → `javax.imageio`
     *     (JDK-native, `java.desktop` module — zero extra deps): true
     *     pixel dimensions, 1 frame;
+    *   - RIFF/WAVE → `javax.sound.sampled` header parse: true sample
+    *     rate / channels / frame count / duration;
+    *   - ISO-BMFF `ftyp` (MP4/MOV family) → bounded box-tree walk:
+    *     true track dimensions, stts frame count, movie duration;
     *   - unparseable-despite-signature → stub fallback (corrupt media
     *     must degrade, not kill the partition);
-    *   - everything else (text, audio, video) → the deterministic
+    *   - everything else (text, unknown codecs) → the deterministic
     *     stub, the extension point for codecs this container lacks.
     */
   object Decoder {
@@ -180,9 +189,102 @@ object Multimodal {
           math.round(frames * 1000.0 / rate)))
       } catch { case _: Exception => None }
 
+    /** MP4 / ISO base-media signature: a `ftyp` box type at offset 4
+      * (the first box of every conforming file).
+      */
+    private[graft] def isMp4(p: Array[Byte]): Boolean =
+      sig(p, 4) == 'f' && sig(p, 5) == 't' && sig(p, 6) == 'y' && sig(p, 7) == 'p'
+
+    /** Real MP4 container-header parse (ISO/IEC 14496-12 box grammar —
+      * public spec, no codec involved): a bounded recursive walk over
+      * the box tree collecting
+      *   - `moov/mvhd`   → movie timescale + duration → duration_ms,
+      *   - `trak/tkhd`   → presentation width/height (16.16 fixed),
+      *   - `trak/mdia/hdlr` = 'vide' gates which track counts as the
+      *     video track (audio tracks carry 0×0 in tkhd, but the
+      *     handler is the spec'd discriminator, not a heuristic),
+      *   - its `stbl/stts` → Σ sample_count = video frame count.
+      * O(header) like the WAV branch: only box headers and the few
+      * leaf payloads above are read; sample DATA (`mdat`) is skipped
+      * by size. Every read is bounds-checked and the recursion is
+      * depth-capped, so a truncated/adversarial payload returns None
+      * (→ stub) instead of throwing or spinning.
+      */
+    private[graft] def decodeMp4(payload: Array[Byte]): Option[(Int, Int, Int, Long)] =
+      if (!isMp4(payload)) None
+      else try {
+        def i32(off: Int): Long =
+          if (off + 4 > payload.length) -1L
+          else ((payload(off) & 0xffL) << 24) | ((payload(off + 1) & 0xffL) << 16) |
+            ((payload(off + 2) & 0xffL) << 8) | (payload(off + 3) & 0xffL)
+        def i64(off: Int): Long =
+          if (off + 8 > payload.length) -1L else (i32(off) << 32) | i32(off + 4)
+        def typ(off: Int): String =
+          if (off + 4 > payload.length) ""
+          else new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+        var timescale = 0L; var duration = -1L
+        var width = 0; var height = 0; var frames = 0L
+        // Per-trak state: tkhd dims + hdlr verdict + stts count are
+        // only committed to the result when the handler says 'vide'
+        // (first video track wins).
+        var trakW = 0; var trakH = 0; var trakFrames = 0L; var trakVide = false
+        var done = false
+
+        val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+        def walk(start: Long, end: Long, depth: Int): Unit = {
+          var off = start
+          while (!done && depth < 8 && off + 8 <= end) {
+            var size = i32(off.toInt)
+            var hdr = 8L
+            if (size == 1) { size = i64(off.toInt + 8); hdr = 16L }
+            else if (size == 0) size = end - off // box runs to end
+            if (size < hdr || off + size > end) return // corrupt: stop this level
+            val t = typ(off.toInt + 4)
+            val body = off + hdr
+            t match {
+              case c if containers(c) =>
+                if (c == "trak") { trakW = 0; trakH = 0; trakFrames = 0L; trakVide = false }
+                walk(body, off + size, depth + 1)
+                if (c == "trak" && trakVide && !done && trakW > 0 && trakH > 0) {
+                  width = trakW; height = trakH; frames = trakFrames; done = true
+                }
+              case "mvhd" =>
+                val v = sig(payload, body.toInt)
+                if (v == 1) { timescale = i32(body.toInt + 20); duration = i64(body.toInt + 24) }
+                else { timescale = i32(body.toInt + 12); duration = i32(body.toInt + 16) }
+              case "tkhd" =>
+                val v = sig(payload, body.toInt)
+                // width/height are 16.16 fixed point at the end of the
+                // box: v0 layout puts them 76/80 bytes in, v1 88/92.
+                val wOff = body.toInt + (if (v == 1) 88 else 76)
+                trakW = (i32(wOff) >> 16).toInt
+                trakH = (i32(wOff + 4) >> 16).toInt
+              case "hdlr" =>
+                trakVide = typ(body.toInt + 8) == "vide"
+              case "stts" =>
+                // Entries bound by THIS box's end (off + size), not the
+                // parent's: a lying entry_count must not read siblings.
+                val n = i32(body.toInt + 4)
+                var k = 0; var sum = 0L
+                while (k < n && body + 8 + k * 8 + 4 <= off + size) {
+                  sum += i32((body + 8 + k * 8).toInt); k += 1
+                }
+                trakFrames = sum
+              case _ => () // mdat, free, ftyp, udta... skipped by size
+            }
+            off += size
+          }
+        }
+        walk(0L, payload.length.toLong, 0)
+        if (!done || timescale <= 0 || duration < 0) None
+        else Some((width, height, frames.min(Int.MaxValue.toLong).toInt,
+          duration * 1000 / timescale))
+      } catch { case _: Exception => None }
+
     /** Unified dispatch: which decoder ran ("image" / "audio" /
-      * "other"-stub) plus that decoder's real features. Field layout
-      * documented on [[MediaFeatures]].
+      * "video" / "other"-stub) plus that decoder's real features.
+      * Field layout documented on [[MediaFeatures]].
       */
     private[graft] def decodeMedia(payload: Array[Byte])
         : (String, Int, Int, Int, Int, Int, Long) =
@@ -193,8 +295,13 @@ object Multimodal {
             case Some((rate, ch, frames, durMs)) =>
               ("audio", 0, 0, frames, rate, ch, durMs)
             case None =>
-              val (w, h, f) = stub(payload)
-              ("other", w, h, f, 0, 0, 0L)
+              decodeMp4(payload) match {
+                case Some((w, h, nf, durMs)) =>
+                  ("video", w, h, nf, 0, 0, durMs)
+                case None =>
+                  val (w, h, f) = stub(payload)
+                  ("other", w, h, f, 0, 0, 0L)
+              }
           }
       }
   }

@@ -511,6 +511,66 @@ class OperatorSpec extends SparkSpec {
     assert((t.sample_rate_hz, t.channels, t.duration_ms) == ((0, 0, 0L)))
   }
 
+  /** Minimal conforming ISO-BMFF fixture built box-by-box: ftyp +
+    * moov(mvhd, trak(tkhd, mdia(hdlr, minf(stbl(stts))))). Sizes are
+    * computed innermost-out so the walker exercises real box
+    * arithmetic, not hand-tuned constants.
+    */
+  private def mp4Fixture(w: Int, h: Int, handler: String, timescale: Int,
+      duration: Int, sttsCounts: Seq[Int]): Array[Byte] = {
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    def be(vs: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(bb.putInt); bb.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be(0x200) ++
+      "isomiso2".getBytes("US-ASCII"))
+    // mvhd v0: ver/flags, creation, modification, timescale, duration.
+    val mvhd = box("mvhd", be(0, 0, 0, timescale, duration) ++ new Array[Byte](80))
+    // tkhd v0: ver/flags + 5 u32 + 16 reserved + 36 matrix + w/h 16.16.
+    val tkhd = box("tkhd", be(0, 0, 0, 1, 0, 0) ++ new Array[Byte](52) ++
+      be(w << 16, h << 16))
+    val hdlr = box("hdlr", be(0, 0) ++ handler.getBytes("US-ASCII") ++
+      new Array[Byte](13))
+    val stts = box("stts", be(0, sttsCounts.length) ++
+      be(sttsCounts.flatMap(c => Seq(c, 512)): _*))
+    val trak = box("trak", tkhd ++ box("mdia", hdlr ++ box("minf", box("stbl", stts))))
+    ftyp ++ box("moov", mvhd ++ trak) ++ box("mdat", new Array[Byte](32))
+  }
+
+  test("real MP4 container headers parse to true dims/frames/duration") {
+    import graft.operators.Multimodal._
+    // 320x240, movie timescale 1000 & duration 2500 -> 2500 ms; two
+    // stts runs of 50 + 25 samples -> 75 frames.
+    val mp4 = mp4Fixture(320, 240, "vide", 1000, 2500, Seq(50, 25))
+    assert(Decoder.isMp4(mp4) && !Decoder.isImage(mp4) && !Decoder.isWav(mp4))
+    assert(Decoder.decodeMp4(mp4).contains((320, 240, 75, 2500L)))
+    // Sound-handler track must NOT be reported as video.
+    val audioOnly = mp4Fixture(0, 0, "soun", 1000, 2500, Seq(50))
+    assert(Decoder.decodeMp4(audioOnly).isEmpty)
+    // Truncation anywhere inside the header tree (ftyp+moov): never
+    // throws, returns None (the walker's bounds checks, not caller
+    // catches, do the work). Past the moov end only sample DATA is
+    // missing, and the header-only parse legitimately still succeeds —
+    // that boundary is asserted too.
+    val headerLen = mp4.length - 40 // trailing mdat box = 8B header + 32B
+    (0 until headerLen by 7).foreach { n =>
+      assert(Decoder.decodeMp4(mp4.take(n)).isEmpty, s"prefix $n")
+    }
+    assert(Decoder.decodeMp4(mp4.take(headerLen)).contains((320, 240, 75, 2500L)))
+    // End-to-end: the typed decode path reports kind=video with real
+    // features; zeroed audio fields.
+    val feats = decodeFeatures(Seq(
+      MediaItem(1L, mp4, "video/mp4", mp4.length.toLong)).toDS()).collect().head
+    assert((feats.kind, feats.width, feats.height, feats.n_frames, feats.duration_ms) ==
+      (("video", 320, 240, 75, 2500L)))
+    assert((feats.sample_rate_hz, feats.channels) == ((0, 0)))
+  }
+
   test("resize is a real raster scale for images, the byte stub otherwise") {
     import graft.operators.Multimodal._
     def png(w: Int, h: Int): Array[Byte] = {
