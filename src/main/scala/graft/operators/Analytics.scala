@@ -53,7 +53,12 @@ object Analytics {
         (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
           .cast("int").as("g_id"),
         count(lit(1)).as("n_orders"),
-        round(sum("o_totalprice"), 4).as("sum_price"))
+        // Exact decimal money sum: the () grouping set sums EVERY
+        // order, and at sf1 a double sum's accumulation-order error
+        // crosses the 1e-4 rounding grain (this exact query flipped
+        // 2/9 rows vs the oracle at sf1). See Relational.aggPricing.
+        round(sum(col("o_totalprice").cast("decimal(12,2)")), 4)
+          .cast("double").as("sum_price"))
       .orderBy("g_id", "o_orderstatus", "o_orderpriority")
 
   /** Statistical aggregates per return flag: sample stddev/variance,
@@ -93,8 +98,12 @@ object Analytics {
       .agg(
         count(lit(1)).as("n_orders"),
         count_if(col("o_totalprice") > 200000).as("n_big"),
-        round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))
-          .otherwise(0.0)), 4).as("sum_f_price"),
+        // Exact decimal money sum (order-independent) — see
+        // Relational.aggPricing for the sf1 knife-edge rationale.
+        round(sum(when(col("o_orderstatus") === "F",
+            col("o_totalprice").cast("decimal(12,2)"))
+          .otherwise(lit(0).cast("decimal(12,2)"))), 4)
+          .cast("double").as("sum_f_price"),
         round(avg(when(col("o_orderstatus") === "O", col("o_totalprice"))), 4)
           .as("avg_o_price"))
       .orderBy("o_orderpriority")
@@ -281,7 +290,7 @@ object Analytics {
       """SELECT o_orderstatus, o_orderpriority,
         |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS g_id,
         |       count(*) AS n_orders,
-        |       round(sum(o_totalprice), 4) AS sum_price
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 4) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY g_id, o_orderstatus, o_orderpriority""".stripMargin,
@@ -302,7 +311,7 @@ object Analytics {
       """SELECT o_orderpriority,
         |       count(*) AS n_orders,
         |       CAST(count(*) FILTER (o_totalprice > 200000) AS BIGINT) AS n_big,
-        |       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 4) AS sum_f_price,
+        |       CAST(round(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END), 4) AS DOUBLE) AS sum_f_price,
         |       round(avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS avg_o_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_window_shift" ->

@@ -69,20 +69,33 @@ object Relational {
     * combines before the single shuffle on the 2-column grouping key —
     * the shuffle carries |groups| rows per partition, not |input|.
     */
-  def aggPricing(spark: SparkSession, sfDir: String): DataFrame =
+  def aggPricing(spark: SparkSession, sfDir: String): DataFrame = {
+    // Money sums go through EXACT decimal arithmetic, not double:
+    // a double sum is accumulation-order-dependent, and at sf1+ the
+    // reorder error of a ~1e11 sum (~sqrt(n)*ulp) exceeds the 1e-4
+    // rounding grain, so Spark-vs-oracle equality becomes a coin flip
+    // (observed: q_grouping_sets flipped 2/9 rows at sf1). Per-row
+    // money values are exact at 2 decimals, so decimal(12,2) casts are
+    // lossless, products/sums are exact at scale 4/6, and both engines
+    // agree bit-for-bit at ANY corpus size. Quantity sums stay double:
+    // integer-valued doubles sum exactly below 2^53.
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val discF = lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)")
+    val taxF = lit(1).cast("decimal(3,2)") + col("l_tax").cast("decimal(4,2)")
     Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 4).as("sum_qty"),
-        round(sum("l_extendedprice"), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        round(sum(price), 4).cast("double").as("sum_base_price"),
+        round(sum(price * discF), 4).cast("double").as("sum_disc_price"),
+        round(sum(price * discF * taxF), 4).cast("double").as("sum_charge"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         round(avg("l_extendedprice"), 4).as("avg_price"),
         round(avg("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
   /** Exact distinct aggregation — expands to a two-phase plan (distinct
     * shuffle then count). At 100 TB prefer approx_count_distinct unless
@@ -103,9 +116,13 @@ object Relational {
   def joinInner(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val p = Tables.part(spark, sfDir).filter(col("p_size") >= 25)
+    // Exact decimal revenue — see aggPricing for why money sums must
+    // not ride on order-dependent double accumulation.
+    val revenue = col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(4,2)"))
     li.join(p, li("l_partkey") === p("p_partkey"), "inner")
       .groupBy("p_brand")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+      .agg(round(sum(revenue), 4).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("p_brand")
   }
@@ -388,12 +405,15 @@ object Relational {
         |       concat_ws('-', o_orderstatus, o_orderpriority) AS tag,
         |       lower(o_orderpriority) AS prio_lower
         |FROM orders ORDER BY 1""".stripMargin,
+    // Money sums ride exact DECIMAL arithmetic on BOTH sides — a
+    // double sum is accumulation-order-dependent and the two engines
+    // would disagree past the rounding grain at sf1+ (see aggPricing).
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 4) AS sum_qty,
-        |       round(sum(l_extendedprice), 4) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 4) AS DOUBLE) AS sum_base_price,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 4) AS DOUBLE) AS sum_disc_price,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))), 4) AS DOUBLE) AS sum_charge,
         |       round(avg(l_quantity), 4) AS avg_qty,
         |       round(avg(l_extendedprice), 4) AS avg_price,
         |       round(avg(l_discount), 4) AS avg_disc,
@@ -409,7 +429,7 @@ object Relational {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_inner" ->
       """SELECT p_brand,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 4) AS DOUBLE) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size >= 25
