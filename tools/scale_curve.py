@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Dev-only scaling-curve report: compare per-query bench side files
+across scale factors and flag super-linear growth.
+
+Usage:
+  python3 tools/scale_curve.py bench_sf01.json bench_sf1.json 10 [bench_sf001.json]
+
+Prints a per-query table of min_s at each SF, the sf-to-sf ratio, and
+a family rollup; queries whose ratio exceeds the data multiplier are
+flagged (anything growing faster than the input is a scale risk; the
+multiplier itself is linear)."""
+import json
+import sys
+
+
+def fam(name):
+    for p in ("q_dedup", "q_sim", "q_text", "q_corpus", "q_window",
+              "q_join", "q_agg"):
+        if name.startswith(p):
+            return p
+    return "other"
+
+
+def main():
+    small, big, mult = sys.argv[1], sys.argv[2], float(sys.argv[3])
+    s = json.load(open(small))
+    b = json.load(open(big))
+    meta_s, meta_b = s.pop("_meta"), b.pop("_meta")
+    rows = []
+    for name in sorted(s):
+        if name not in b:
+            continue
+        ms, mb = s[name]["min_s"], b[name]["min_s"]
+        if ms <= 0 or mb <= 0:
+            rows.append((name, ms, mb, None))
+        else:
+            rows.append((name, ms, mb, mb / ms))
+    print(f"{'query':28s} {'small':>8s} {'big':>8s} {'ratio':>7s}  (mult={mult:g})")
+    flagged = []
+    for name, ms, mb, r in rows:
+        mark = ""
+        if r is not None and r > mult:
+            mark = " <-- SUPER-LINEAR"
+            flagged.append(name)
+        rs = f"{r:.2f}" if r is not None else "n/a"
+        print(f"{name:28s} {ms:8.3f} {mb:8.3f} {rs:>7s}{mark}")
+    fams = {}
+    for name, ms, mb, r in rows:
+        if r is None:
+            continue
+        f = fams.setdefault(fam(name), [0.0, 0.0])
+        f[0] += ms
+        f[1] += mb
+    print("\nfamily rollup (sum of per-query mins):")
+    for f, (ms, mb) in sorted(fams.items()):
+        print(f"  {f:10s} {ms:8.3f} -> {mb:8.3f}  ratio {mb / ms:6.2f}")
+    print(f"\nindex_build: {meta_s['index_build_s']:.2f} -> "
+          f"{meta_b['index_build_s']:.2f} s "
+          f"(ratio {meta_b['index_build_s'] / max(meta_s['index_build_s'], 1e-9):.2f})")
+    print(f"total_min:   {meta_s['total_min_s']:.2f} -> {meta_b['total_min_s']:.2f} s")
+    print(f"steal probes: small {meta_s['steal_probes']}/{meta_s['n_probes']}, "
+          f"big {meta_b['steal_probes']}/{meta_b['n_probes']}")
+    if flagged:
+        print(f"\nFLAGGED super-linear: {', '.join(flagged)}")
+
+
+if __name__ == "__main__":
+    main()
