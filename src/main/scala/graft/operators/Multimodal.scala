@@ -195,6 +195,11 @@ object Multimodal {
     private[graft] def isMp4(p: Array[Byte]): Boolean =
       sig(p, 4) == 'f' && sig(p, 5) == 't' && sig(p, 6) == 'y' && sig(p, 7) == 'p'
 
+    // Hoisted off the per-row decode path (decodeMedia runs per row in
+    // mapPartitions; a per-call Set allocation there is setup cost the
+    // batching design exists to avoid).
+    private val Containers = Set("moov", "trak", "mdia", "minf", "stbl")
+
     /** Real MP4 container-header parse (ISO/IEC 14496-12 box grammar —
       * public spec, no codec involved): a bounded recursive walk over
       * the box tree collecting
@@ -224,17 +229,20 @@ object Multimodal {
           else new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
         var timescale = 0L; var duration = -1L
-        var width = 0; var height = 0; var frames = 0L
+        var width = 0; var height = 0; var frames = 0L; var gotVideo = false
         // Per-trak state: tkhd dims + hdlr verdict + stts count are
         // only committed to the result when the handler says 'vide'
-        // (first video track wins).
+        // (first video track wins). The walk must NOT abort once a
+        // video trak commits: ISO 14496-12 does not mandate child
+        // order inside moov, and some muxers write mvhd AFTER the
+        // traks — aborting there would lose the timescale and degrade
+        // a valid file to the stub. The full walk stays O(header);
+        // mdat is skipped by size either way.
         var trakW = 0; var trakH = 0; var trakFrames = 0L; var trakVide = false
-        var done = false
 
-        val containers = Set("moov", "trak", "mdia", "minf", "stbl")
         def walk(start: Long, end: Long, depth: Int): Unit = {
           var off = start
-          while (!done && depth < 8 && off + 8 <= end) {
+          while (depth < 8 && off + 8 <= end) {
             var size = i32(off.toInt)
             var hdr = 8L
             if (size == 1) { size = i64(off.toInt + 8); hdr = 16L }
@@ -243,16 +251,19 @@ object Multimodal {
             val t = typ(off.toInt + 4)
             val body = off + hdr
             t match {
-              case c if containers(c) =>
+              case c if Containers.contains(c) =>
                 if (c == "trak") { trakW = 0; trakH = 0; trakFrames = 0L; trakVide = false }
                 walk(body, off + size, depth + 1)
-                if (c == "trak" && trakVide && !done && trakW > 0 && trakH > 0) {
-                  width = trakW; height = trakH; frames = trakFrames; done = true
+                if (c == "trak" && trakVide && !gotVideo && trakW > 0 && trakH > 0) {
+                  width = trakW; height = trakH; frames = trakFrames; gotVideo = true
                 }
               case "mvhd" =>
                 val v = sig(payload, body.toInt)
                 if (v == 1) { timescale = i32(body.toInt + 20); duration = i64(body.toInt + 24) }
                 else { timescale = i32(body.toInt + 12); duration = i32(body.toInt + 16) }
+                // All-ones duration is the spec's "unknown" sentinel —
+                // must not surface as ~49 real-looking days.
+                if (duration == 0xFFFFFFFFL || duration == -1L) duration = -1L
               case "tkhd" =>
                 val v = sig(payload, body.toInt)
                 // width/height are 16.16 fixed point at the end of the
@@ -277,7 +288,10 @@ object Multimodal {
           }
         }
         walk(0L, payload.length.toLong, 0)
-        if (!done || timescale <= 0 || duration < 0) None
+        // Overflow guard: an adversarial 64-bit v1 duration near
+        // 2^63/1000 would wrap duration * 1000 negative.
+        if (!gotVideo || timescale <= 0 || duration < 0 ||
+          duration > Long.MaxValue / 1000) None
         else Some((width, height, frames.min(Int.MaxValue.toLong).toInt,
           duration * 1000 / timescale))
       } catch { case _: Exception => None }

@@ -517,7 +517,8 @@ class OperatorSpec extends SparkSpec {
     * arithmetic, not hand-tuned constants.
     */
   private def mp4Fixture(w: Int, h: Int, handler: String, timescale: Int,
-      duration: Int, sttsCounts: Seq[Int]): Array[Byte] = {
+      duration: Int, sttsCounts: Seq[Int],
+      mvhdLast: Boolean = false): Array[Byte] = {
     def box(typ: String, body: Array[Byte]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(8 + body.length)
       bb.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
@@ -539,7 +540,8 @@ class OperatorSpec extends SparkSpec {
     val stts = box("stts", be(0, sttsCounts.length) ++
       be(sttsCounts.flatMap(c => Seq(c, 512)): _*))
     val trak = box("trak", tkhd ++ box("mdia", hdlr ++ box("minf", box("stbl", stts))))
-    ftyp ++ box("moov", mvhd ++ trak) ++ box("mdat", new Array[Byte](32))
+    val moov = if (mvhdLast) trak ++ mvhd else mvhd ++ trak
+    ftyp ++ box("moov", moov) ++ box("mdat", new Array[Byte](32))
   }
 
   test("real MP4 container headers parse to true dims/frames/duration") {
@@ -552,6 +554,16 @@ class OperatorSpec extends SparkSpec {
     // Sound-handler track must NOT be reported as video.
     val audioOnly = mp4Fixture(0, 0, "soun", 1000, 2500, Seq(50))
     assert(Decoder.decodeMp4(audioOnly).isEmpty)
+    // Box order inside moov is not mandated: some muxers write mvhd
+    // AFTER the traks — the walk must not abort at the first video
+    // trak and lose the timescale.
+    val mvhdLast = mp4Fixture(320, 240, "vide", 1000, 2500, Seq(50, 25),
+      mvhdLast = true)
+    assert(Decoder.decodeMp4(mvhdLast).contains((320, 240, 75, 2500L)))
+    // All-ones duration is the spec's "unknown" sentinel, not ~49.7
+    // real-looking days.
+    val unknownDur = mp4Fixture(320, 240, "vide", 1000, -1, Seq(50))
+    assert(Decoder.decodeMp4(unknownDur).isEmpty)
     // Truncation anywhere inside the header tree (ftyp+moov): never
     // throws, returns None (the walker's bounds checks, not caller
     // catches, do the work). Past the moov end only sample DATA is

@@ -3,12 +3,14 @@
 across scale factors and flag super-linear growth.
 
 Usage:
-  python3 tools/scale_curve.py bench_sf01.json bench_sf1.json 10 [bench_sf001.json]
+  python3 tools/scale_curve.py bench_sf01.json bench_sf1.json 10
 
 Prints a per-query table of min_s at each SF, the sf-to-sf ratio, and
 a family rollup; queries whose ratio exceeds the data multiplier are
 flagged (anything growing faster than the input is a scale risk; the
-multiplier itself is linear)."""
+multiplier itself is linear). Queries missing from either file, or
+with no successful run at either SF, are listed explicitly — a query
+that cannot be ratio'd must not silently pass the zero-flags check."""
 import json
 import sys
 
@@ -26,13 +28,16 @@ def main():
     s = json.load(open(small))
     b = json.load(open(big))
     meta_s, meta_b = s.pop("_meta"), b.pop("_meta")
+    missing = sorted(set(s) ^ set(b))
     rows = []
+    unratioed = []
     for name in sorted(s):
         if name not in b:
             continue
         ms, mb = s[name]["min_s"], b[name]["min_s"]
         if ms <= 0 or mb <= 0:
             rows.append((name, ms, mb, None))
+            unratioed.append(name)
         else:
             rows.append((name, ms, mb, mb / ms))
     print(f"{'query':28s} {'small':>8s} {'big':>8s} {'ratio':>7s}  (mult={mult:g})")
@@ -62,6 +67,11 @@ def main():
           f"big {meta_b['steal_probes']}/{meta_b['n_probes']}")
     if flagged:
         print(f"\nFLAGGED super-linear: {', '.join(flagged)}")
+    if missing:
+        print(f"\nNOT COMPARED (absent from one file): {', '.join(missing)}")
+    if unratioed:
+        print(f"\nNOT RATIO'D (no successful run at one SF): "
+              f"{', '.join(unratioed)}")
 
 
 if __name__ == "__main__":
