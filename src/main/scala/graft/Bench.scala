@@ -25,6 +25,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE is pinned ON (the Spark 4 default) rather than assumed:
+      // Dedup.lshVerified deliberately carries no broadcast() hint on
+      // its participants semi-join and relies on AQE runtime stats to
+      // pick the broadcast side (a static hint would OOM the driver on
+      // a high-dup corpus). With AQE off the static estimate can
+      // silently degrade that semi-join to a full shuffle.
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

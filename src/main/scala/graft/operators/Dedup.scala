@@ -359,6 +359,11 @@ object Dedup {
     // already-materialized persisted frame, so AQE's runtime stats
     // broadcast it whenever it actually fits and keep a shuffled
     // semi-join when it doesn't; the input reduction holds either way.
+    // This REQUIRES spark.sql.adaptive.enabled (the Spark 4 default —
+    // pinned explicitly in Verify/Bench/SparkSpec session builders):
+    // with AQE off, the planner's static estimate of this distinct-
+    // union frame can exceed autoBroadcastJoinThreshold and silently
+    // regress the semi-join to a full shuffle of documents.
     val participants = pairs.select(col("a_id").as("doc_id"))
       .union(pairs.select(col("b_id").as("doc_id")))
       .distinct()

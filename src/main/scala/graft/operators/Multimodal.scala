@@ -247,7 +247,13 @@ object Multimodal {
             var hdr = 8L
             if (size == 1) { size = i64(off.toInt + 8); hdr = 16L }
             else if (size == 0) size = end - off // box runs to end
-            if (size < hdr || off + size > end) return // corrupt: stop this level
+            // Overflow-safe bounds check: `off + size > end` wraps when a
+            // crafted 64-bit largesize is near Long.MaxValue (off + size
+            // goes negative, the guard passes, and off.toInt truncation
+            // would re-read from the start of the payload — an infinite
+            // walk). `end - off` is non-negative here (loop invariant
+            // off + 8 <= end), so comparing size against it cannot wrap.
+            if (size < hdr || size > end - off) return // corrupt: stop this level
             val t = typ(off.toInt + 4)
             val body = off + hdr
             t match {
@@ -261,9 +267,12 @@ object Multimodal {
                 val v = sig(payload, body.toInt)
                 if (v == 1) { timescale = i32(body.toInt + 20); duration = i64(body.toInt + 24) }
                 else { timescale = i32(body.toInt + 12); duration = i32(body.toInt + 16) }
-                // All-ones duration is the spec's "unknown" sentinel —
-                // must not surface as ~49 real-looking days.
-                if (duration == 0xFFFFFFFFL || duration == -1L) duration = -1L
+                // All-ones duration is the spec's "unknown" sentinel.
+                // For v0 that is 32-bit all-ones (0xFFFFFFFF); for v1 it
+                // is 64-bit all-ones, already covered by the -1L check —
+                // a v1 duration of exactly 4294967295 ticks is a
+                // legitimate value and must NOT be degraded to unknown.
+                if (duration == -1L || (v == 0 && duration == 0xFFFFFFFFL)) duration = -1L
               case "tkhd" =>
                 val v = sig(payload, body.toInt)
                 // width/height are 16.16 fixed point at the end of the

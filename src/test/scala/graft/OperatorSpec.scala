@@ -583,6 +583,61 @@ class OperatorSpec extends SparkSpec {
     assert((feats.sample_rate_hz, feats.channels) == ((0, 0)))
   }
 
+  test("MP4 walker: adversarial largesize cannot wrap the bounds check") {
+    import graft.operators.Multimodal._
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ new Array[Byte](8))
+    // size field = 1 selects the 64-bit largesize; a value near
+    // Long.MaxValue makes `off + size` wrap negative — a naive
+    // `off + size > end` guard passes and the walk loops forever
+    // through 0 -> 24 -> Long.MinValue -> 0. Must return None, fast.
+    def evil(largesize: Long): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putInt(1).put("free".getBytes("US-ASCII")).putLong(largesize)
+      ftyp ++ bb.array()
+    }
+    assert(Decoder.decodeMp4(evil(Long.MaxValue)).isEmpty)
+    assert(Decoder.decodeMp4(evil(Long.MinValue)).isEmpty)
+    assert(Decoder.decodeMp4(evil(java.lang.Long.MAX_VALUE - 24)).isEmpty)
+    assert(Decoder.decodeMp4(evil(-1L)).isEmpty)
+  }
+
+  test("MP4 mvhd v1: 0xFFFFFFFF ticks is a legitimate 64-bit duration") {
+    import graft.operators.Multimodal._
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length).put(typ.getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    def be(vs: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(bb.putInt); bb.array()
+    }
+    // mvhd v1: ver(1=<<24)/flags, creation(8), modification(8),
+    // timescale u32 @20, duration u64 @24. 2^32-1 ticks at timescale
+    // 1e6 is ~71.6 real minutes — the v0 unknown sentinel must not
+    // apply to it. True 64-bit all-ones (= -1) stays unknown.
+    def v1Fixture(durHi: Int, durLo: Int): Array[Byte] = {
+      val mvhd = box("mvhd", be(1 << 24, 0, 0, 0, 0, 1000000, durHi, durLo) ++
+        new Array[Byte](80))
+      val tkhd = box("tkhd", be(1 << 24, 0, 0, 0, 1, 0, 0, 0) ++
+        new Array[Byte](56) ++ be(320 << 16, 240 << 16))
+      val hdlr = box("hdlr", be(0, 0) ++ "vide".getBytes("US-ASCII") ++
+        new Array[Byte](13))
+      val stts = box("stts", be(0, 1, 10, 512))
+      val trak = box("trak", tkhd ++ box("mdia", hdlr ++ box("minf", box("stbl", stts))))
+      val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++ be(0x200))
+      ftyp ++ box("moov", mvhd ++ trak)
+    }
+    assert(Decoder.decodeMp4(v1Fixture(0, -1)) // duration = 0xFFFFFFFF ticks
+      .contains((320, 240, 10, 4294967295L * 1000 / 1000000)))
+    assert(Decoder.decodeMp4(v1Fixture(-1, -1)).isEmpty) // 64-bit all-ones: unknown
+  }
+
   test("resize is a real raster scale for images, the byte stub otherwise") {
     import graft.operators.Multimodal._
     def png(w: Int, h: Int): Array[Byte] = {

@@ -17,6 +17,9 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "target/spark-warehouse")
+      // Pinned ON (see Verify.scala): Dedup.lshVerified relies on AQE
+      // runtime stats for its hint-free participants broadcast.
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }

@@ -72,6 +72,11 @@ def main():
     if unratioed:
         print(f"\nNOT RATIO'D (no successful run at one SF): "
               f"{', '.join(unratioed)}")
+    # Non-zero exit when anything is flagged, missing, or unratioed so
+    # scripted "zero flags" gates can rely on the exit status instead
+    # of scraping stdout.
+    if flagged or missing or unratioed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
