@@ -27,11 +27,15 @@ import graft.functions.TextFns._
   *                     occupancy; kept as the *verifier* for LSH
   *                     candidates and as ground truth at test scale.
   *   5. embedding    — cosine over `embeddings.embedding`; banded
-  *                     hyperplane-LSH (4×8 planes) generates candidates
-  *                     via a bucket equi-join, exact cosine verified
-  *                     inside buckets; the all-pairs form survives only
-  *                     as spec-level ground truth. Recall follows
-  *                     1-(1-(1-θ/π)^8)^4: ≈0.99 at cosine 0.99, but
+  *                     hyperplane-LSH generates candidates via a bucket
+  *                     equi-join, exact cosine verified inside buckets;
+  *                     the layout is scale-adaptive (planes-per-band ≈
+  *                     log₂(N/occupancy), bands re-derived per rung —
+  *                     [[embedPlanes]]/[[embedBands]]; 4×8 in the
+  *                     minimum-size regime) and the all-pairs form
+  *                     survives only as spec-level ground truth. Recall
+  *                     follows 1-(1-(1-θ/π)^planes)^bands: ≥0.99 at
+  *                     cosine 0.99 at every rung, but
   *                     intentionally low near the 0.45 floor — θ≈60°
   *                     vectors are not near-duplicates, and no band
   *                     geometry separates them from random pairs
@@ -85,12 +89,62 @@ object Dedup {
   val SimHashRadius = 8
   val CosineThreshold = 0.45
 
-  /** Hyperplane-LSH banding for embedding near-dup: 4 bands × 8 signed
-    * planes (32 planes total, same md5-derived matrix as
-    * Similarity.bucketCol). Collision in ≥1 band makes a candidate.
+  /** Hyperplane-LSH banding for embedding near-dup in the minimum-size
+    * regime (corpora up to [[EmbedTargetOccupancy]]·2^[[EmbedMinPlanes]]
+    * vectors): 4 bands × 8 signed planes, same md5-derived matrix as
+    * Similarity.bucketCol. Collision in ≥1 band makes a candidate.
+    *
+    * Past that size the layout is SCALE-ADAPTIVE ([[embedPlanes]] /
+    * [[embedBands]]): the r7 sf3 bench proved a fixed 2^8 bucket space
+    * goes quadratic (random collisions grow N²/2⁹ per band — 8.0× time
+    * and 31→1902 MB shuffle for 3× data), so planes-per-band grows with
+    * log₂(N / target occupancy), which pins mean bucket occupancy — and
+    * hence candidate volume, O(bands·occupancy·N) — LINEAR in N. Bands
+    * are re-derived from the recall contract at each plane count, so
+    * the collision guarantee P(candidate | cosine ≥ 0.99) ≥ 0.99 holds
+    * at every rung of the ladder.
     */
   val EmbedBands = 4
   val EmbedPlanesPerBand = 8
+
+  /** Mean vectors per (band, bucket) the adaptive ladder aims for. */
+  val EmbedTargetOccupancy = 8L
+  val EmbedMinPlanes = 8
+  /** Ladder cap: 2^24 buckets × occupancy 8 ≈ 134M vectors per corpus
+    * shard — past this, shard the corpus (the banding is per-shard
+    * anyway at 100 TB) rather than widening buckets further.
+    */
+  val EmbedMaxPlanes = 24
+  /** The recall contract: P(banded candidate) at the contract cosine. */
+  val EmbedRecallTarget = 0.99
+  val EmbedContractCosine = 0.99
+
+  /** Planes per band for an N-vector corpus: the smallest p ∈
+    * [[[EmbedMinPlanes]], [[EmbedMaxPlanes]]] with 2^p × occupancy ≥ N.
+    * Pure integer arithmetic — the DuckDB oracle mirrors this as an
+    * integer CASE ladder generated from the SAME loop, so there is no
+    * cross-engine floating-point ceil knife edge.
+    */
+  def embedPlanes(n: Long): Int = {
+    var p = EmbedMinPlanes
+    while (p < EmbedMaxPlanes && (1L << p) * EmbedTargetOccupancy < n) p += 1
+    p
+  }
+
+  /** Bands needed to hold [[EmbedRecallTarget]] at `planes` planes per
+    * band: collision probability per plane is 1 - θ/π at the contract
+    * angle, so bands = ⌈ln(1-recall) / ln(1-(1-θ/π)^planes)⌉. Evaluated
+    * once per integer plane count on the DRIVER (the oracle embeds the
+    * resulting integers, never re-deriving through its own libm).
+    * embedBands(8) = 4 — the minimum-size regime IS the historical
+    * (4 bands × 8 planes) layout, so corpora under ~2k vectors are
+    * bit-identical to the pre-adaptive engine.
+    */
+  def embedBands(planes: Int): Int = {
+    val pCollide = 1.0 - math.acos(EmbedContractCosine) / math.Pi
+    val bandMiss = 1.0 - math.pow(pCollide, planes)
+    math.max(1, math.ceil(math.log(1.0 - EmbedRecallTarget) / math.log(bandMiss)).toInt)
+  }
 
   /** Exact dedup: group identical content, keep the lowest doc_id.
     * At 100 TB the groupBy key should be `fingerprint` (8 bytes)
@@ -423,24 +477,30 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs via banded hyperplane LSH — the
-    * scale path: both sides get [[EmbedBands]]×[[EmbedPlanesPerBand]]
-    * sign-buckets (Similarity.bandedBuckets, same md5-derived plane
-    * matrix as the ANN queries), candidates come from a (band, bucket)
-    * EQUI-join — never a cross product — and the exact cosine is
-    * verified inside buckets. Candidate volume is O(vecs × bands ×
-    * bucket occupancy), the same amplification shape as the MinHash
-    * bands; high-similarity pairs collide in ≥1 band with probability
-    * 1-(1-(1-θ/π)^8)^4. [[embeddingPairsExact]] keeps the all-pairs
-    * form as spec-level ground truth (the Jaccard-as-verifier
-    * pattern): every banded pair must appear there with the identical
-    * cosine.
+    * scale path: both sides get bands × planesPerBand sign-buckets
+    * (Similarity.bandedBuckets, same md5-derived plane matrix as the
+    * ANN queries), candidates come from a (band, bucket) EQUI-join —
+    * never a cross product — and the exact cosine is verified inside
+    * buckets. Candidate volume is O(vecs × bands × bucket occupancy),
+    * the same amplification shape as the MinHash bands; high-similarity
+    * pairs collide in ≥1 band with probability
+    * 1-(1-(1-θ/π)^planes)^bands ≥ [[EmbedRecallTarget]] by
+    * construction ([[embedBands]]). The plane count is the caller's
+    * scale decision ([[embedPlanes]] of the corpus size — see
+    * [[embeddingPairs]]); the band count is always derived from it so
+    * the recall contract cannot be broken by mismatched arguments.
+    * [[embeddingPairsExact]] keeps the all-pairs form as spec-level
+    * ground truth (the Jaccard-as-verifier pattern): every banded pair
+    * must appear there with the identical cosine.
     */
-  def embeddingPairsOf(embs: DataFrame): DataFrame = {
+  def embeddingPairsOf(embs: DataFrame,
+      planesPerBand: Int = EmbedPlanesPerBand): DataFrame = {
+    val nBands = embedBands(planesPerBand)
     val e = embs
       .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
       .withColumn("nrm", l2norm(col("v")))
     val banded = e.select(col("vec_id"),
-      posexplode(Similarity.bandedBuckets(col("v"), EmbedBands, EmbedPlanesPerBand))
+      posexplode(Similarity.bandedBuckets(col("v"), nBands, planesPerBand))
         .as(Seq("band", "bucket")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -455,8 +515,18 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("cosine"), 4).as("cosine"))
   }
 
-  def embeddingPairs(spark: SparkSession, sfDir: String): DataFrame =
-    embeddingPairsOf(Tables.embeddings(spark, sfDir))
+  /** The registry entry: derives the plane count from the corpus size
+    * (one cheap count job — at cluster scale a parquet metadata scan)
+    * before declaring the banded plan. The count-then-plan step is the
+    * same adaptivity AQE applies to shuffle partitioning, lifted to the
+    * LSH layout: the bucket space is a function of N, not a constant of
+    * the algorithm, which is what keeps candidate volume linear
+    * (measured: the fixed 2^8 layout hit 8.0× time for 3× data at sf3).
+    */
+  def embeddingPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val embs = Tables.embeddings(spark, sfDir)
+    embeddingPairsOf(embs, embedPlanes(embs.count()))
+  }
 
   /** All-pairs exact cosine ≥ threshold — ground truth for
     * [[embeddingPairs]] at spec scale only (O(n²) BNLJ; never run on a
@@ -1012,16 +1082,30 @@ object Dedup {
          |ORDER BY 1, 2""".stripMargin
     },
     "q_dedup_embed" -> {
-      val nPlanes = EmbedBands * EmbedPlanesPerBand
+      // The adaptive band plan, mirrored as pure-integer CASE ladders
+      // generated from the SAME Scala functions the query calls
+      // (embedPlanes / embedBands) — both engines step at identical
+      // corpus sizes and no floating-point ceil/log is ever evaluated
+      // inside SQL.
+      val planesLadder = (EmbedMinPlanes until EmbedMaxPlanes)
+        .map(p => s"WHEN n <= ${(1L << p) * EmbedTargetOccupancy} THEN $p")
+        .mkString(" ")
+      val bandsLadder = (EmbedMinPlanes to EmbedMaxPlanes)
+        .map(p => s"WHEN $p THEN ${embedBands(p)}").mkString(" ")
+      val maxTotal = EmbedMaxPlanes * embedBands(EmbedMaxPlanes)
       val cosAB =
         "list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]),\n" +
           "             (x, y) -> x + y) / (a.nrm * b.nrm)"
-      s"""WITH planes AS (
-         |  SELECT i, i // $EmbedPlanesPerBand AS band, i % $EmbedPlanesPerBand AS bit,
+      s"""WITH np AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+         |plan AS (
+         |  SELECT planes, CASE planes $bandsLadder END AS bands
+         |  FROM (SELECT CASE $planesLadder ELSE $EmbedMaxPlanes END AS planes FROM np)),
+         |planes AS (
+         |  SELECT i, i // plan.planes AS band, i % plan.planes AS bit,
          |         list_transform(range(0, 64), j ->
          |           ((CAST('0x' || substr(md5('plane' || i || '_' || j), 1, 15) AS BIGINT)
          |             % 2001) - 1000) / 1000.0) AS p
-         |  FROM range(0, $nPlanes) t(i)),
+         |  FROM range(0, $maxTotal) t(i), plan WHERE i < plan.planes * plan.bands),
          |vecs AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS v,
          |         sqrt(list_reduce(list_transform(range(1, 65), k -> embedding[k]::DOUBLE * embedding[k]::DOUBLE),

@@ -127,6 +127,44 @@ class OperatorSpec extends SparkSpec {
     val sfExact = Dedup.embeddingPairsExact(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cosine")).toMap
     sfBanded.foreach { case (k, c) => assert(sfExact.get(k).contains(c)) }
+    // The sf3 rung of the adaptive ladder (13 planes, 6 bands) must
+    // hold the same two invariants on the synthetic frame: the true
+    // near-dup found, everything contained in the exact ground truth.
+    val wide = Dedup.embeddingPairsOf(embs, planesPerBand = 13).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cosine")).toMap
+    assert(wide.contains((1L, 2L)), s"13-plane rung missed the near-dup: $wide")
+    wide.foreach { case (k, c) =>
+      assert(exact.get(k).contains(c), s"13-plane pair $k not in ground truth")
+    }
+  }
+
+  test("embed band plan: integer ladder pins, recall contract at every rung") {
+    import Dedup._
+    // The floor regime is the historical 4×8 layout, byte-identical to
+    // the pre-adaptive engine up to occupancy×2^8 = 2048 vectors.
+    assert(embedPlanes(500) == 8 && embedBands(8) == 4)
+    assert(embedPlanes(2048) == 8)
+    assert(embedPlanes(2049) == 9)
+    // The measured sweep rungs (sf1 = 20k vecs, sf3 = 60k).
+    assert(embedPlanes(20000) == 12 && embedBands(12) == 6)
+    assert(embedPlanes(60000) == 13 && embedBands(13) == 6)
+    // Cap: beyond 2^24 buckets × occupancy the plan stops widening.
+    assert(embedPlanes(Long.MaxValue) == EmbedMaxPlanes)
+    // Bucket occupancy stays within [occ/2, occ] past the floor (the
+    // power-of-2 ladder can undershoot by at most 2×) — that bound is
+    // what makes candidate volume O(bands·occ·N), linear in N.
+    (2049L to 300000L by 997).foreach { n =>
+      val cap = (1L << embedPlanes(n)) * EmbedTargetOccupancy
+      assert(cap >= n && (embedPlanes(n) == EmbedMinPlanes || cap < 2 * n))
+    }
+    // The recall contract holds at every rung of the ladder: bands are
+    // re-derived so 1-(1-(1-θ/π)^planes)^bands ≥ target.
+    val pCollide = 1.0 - math.acos(EmbedContractCosine) / math.Pi
+    (EmbedMinPlanes to EmbedMaxPlanes).foreach { planes =>
+      val recall = 1.0 - math.pow(1.0 - math.pow(pCollide, planes), embedBands(planes))
+      assert(recall >= EmbedRecallTarget,
+        s"$planes planes × ${embedBands(planes)} bands -> recall $recall")
+    }
   }
 
   test("corpus-op invariants: chunk geometry, upsample bounds, resample density") {
