@@ -171,3 +171,60 @@ case class SimHash60(child: Expression, bits: Int)
   override protected def withNewChildInternal(newChild: Expression): SimHash60 =
     copy(child = newChild)
 }
+
+/** `words` independent 60-bit SimHash signatures in ONE pass over the
+  * raw text — the signature source for scale-adaptive SimHash banding
+  * (graft.operators.Dedup.simHashPairsOf), where band keys wider than
+  * 15 bits need more than 60 signature bits to stay non-overlapping.
+  *
+  * Word 0 hashes each distinct token as `hash60(tok)` — bit-identical
+  * to [[SimHash60]], so the reported hamming distance keeps its
+  * historical 60-bit definition at every ladder rung. Word k ≥ 1
+  * hashes `hash60("simw<k>_" + tok)`: an independent projection of the
+  * same token-frequency vector (the DuckDB oracle derives the same
+  * salted md5). Tokenization and the frequency map are shared across
+  * words; only the per-distinct-token hash and the 60 signed sums
+  * repeat, so cost is O(words × distinct tokens), not O(words × text).
+  */
+case class SimHashMulti(child: Expression, bits: Int, words: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_simhash_multi"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val counts = mutable.HashMap.empty[String, Long]
+    HashKernel.tokenize(text).foreach(t => counts.update(t, counts.getOrElse(t, 0L) + 1L))
+    val sums = Array.ofDim[Long](words, bits)
+    counts.foreach { case (tok, c) =>
+      var wd = 0
+      while (wd < words) {
+        val h = HashKernel.hash60(if (wd == 0) tok else "simw" + wd + "_" + tok)
+        val s = sums(wd)
+        var j = 0
+        while (j < bits) {
+          s(j) += c * (((h >>> j) & 1L) * 2L - 1L)
+          j += 1
+        }
+        wd += 1
+      }
+    }
+    val packed = new Array[Long](words)
+    var wd = 0
+    while (wd < words) {
+      var p = 0L
+      var j = 0
+      while (j < bits) {
+        if (sums(wd)(j) > 0) p |= 1L << j
+        j += 1
+      }
+      packed(wd) = p
+      wd += 1
+    }
+    new GenericArrayData(packed)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMulti =
+    copy(child = newChild)
+}

@@ -87,6 +87,64 @@ object Dedup {
   val SimHashBits = 60
   val SimHashBandBits = 15
   val SimHashRadius = 8
+
+  /** Scale-adaptive SimHash band plan. The r7 sf3 bench flagged the
+    * fixed 4×15-bit layout super-linear (6.6× time for 3× data):
+    * 2¹⁵ buckets per band is a constant, so random-collision
+    * candidates grow N²·4/2¹⁵ — ~10¹⁴ at 10⁹ docs. Band bits now
+    * derive from the corpus size ([[simHashBandBits]]: smallest w with
+    * 2^w × occupancy ≥ N), which pins bucket occupancy and keeps
+    * candidates O(tables · occ · N), linear. Wider bands have a lower
+    * per-band collision probability at the radius edge, so the table
+    * count is re-derived per rung ([[simHashTables]]) to hold the
+    * historical edge recall — and since w × tables can exceed the
+    * 60-bit signature, tables draw from [[simHashWords]] independent
+    * salted 60-bit signatures ([[graft.expressions.SimHashMulti]];
+    * word 0 is bit-identical to the historical signature, so the
+    * reported hamming never changes meaning). Corpora up to
+    * occupancy×2¹⁵ keep the historical layout bit-for-bit.
+    */
+  val SimHashTargetOccupancy = 2L
+  val SimHashMinBandBits = 15
+  /** Ladder cap: 2^30 buckets × occupancy ≈ 2×10⁹ docs per corpus
+    * shard; past that, shard the corpus rather than widen further
+    * (table count grows superlinearly in w beyond this point).
+    */
+  val SimHashMaxBandBits = 30
+  /** Recall floor at the radius EDGE (hamming exactly
+    * [[SimHashRadius]]), matching the historical 4×15 layout's
+    * 1-(1-(52/60)^15)^4 ≈ 0.39 there. Pairs at realistic near-dup
+    * hamming sit far higher on the S-curve at every rung (h=2, w=20:
+    * ≈0.998).
+    */
+  val SimHashEdgeRecall = 0.39
+
+  /** Band width for an N-doc corpus — pure integer ladder, mirrored
+    * verbatim by the oracle's CASE ladder. */
+  def simHashBandBits(n: Long): Int = {
+    var w = SimHashMinBandBits
+    while (w < SimHashMaxBandBits && (1L << w) * SimHashTargetOccupancy < n) w += 1
+    w
+  }
+
+  /** Tables (bands) needed to hold [[SimHashEdgeRecall]] at band width
+    * `w`: per-bit clean probability at the edge is 1 - radius/bits, a
+    * band is clean with that to the w-th power, so tables =
+    * ⌈ln(1-recall) / ln(1-(1-r/60)^w)⌉. Driver-evaluated per integer w;
+    * the oracle embeds the resulting integers. simHashTables(15) = 4 —
+    * the floor regime IS the historical layout.
+    */
+  def simHashTables(w: Int): Int = {
+    val bandClean = math.pow(1.0 - SimHashRadius.toDouble / SimHashBits, w)
+    math.max(1, math.ceil(math.log(1.0 - SimHashEdgeRecall) / math.log(1.0 - bandClean)).toInt)
+  }
+
+  /** Bands pack into ⌊60/w⌋ non-overlapping keys per signature word;
+    * the word count is whatever holds all tables. */
+  def simHashWords(w: Int): Int = {
+    val perWord = SimHashBits / w
+    (simHashTables(w) + perWord - 1) / perWord
+  }
   val CosineThreshold = 0.45
 
   /** Hyperplane-LSH banding for embedding near-dup in the minimum-size
@@ -454,16 +512,30 @@ object Dedup {
   def simHashSignatures(spark: SparkSession, sfDir: String): DataFrame =
     simHashSignaturesOf(Tables.documents(spark, sfDir))
 
-  /** SimHash near-dup pairs: band the 60-bit signature into 4×15-bit
-    * keys, bucket-join, verify popcount(xor) ≤ radius. Pure integer
-    * pipeline; the bucket join bounds the pair space exactly like the
-    * MinHash variant.
+  /** SimHash near-dup pairs: band the signature into `w`-bit keys
+    * (w from the scale ladder — [[simHashBandBits]]), bucket-join,
+    * verify popcount(xor) ≤ radius on the word-0 (historical 60-bit)
+    * signature. Pure integer pipeline; the bucket join bounds the pair
+    * space exactly like the MinHash variant, and the adaptive width is
+    * what keeps that bound linear in N. Band t reads bits
+    * [(t mod ⌊60/w⌋)·w, +w) of signature word t ÷ ⌊60/w⌋.
     */
-  def simHashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = simHashSignatures(spark, sfDir)
-    val bandKeys = (0 until NumBands).map(b =>
-      shiftright(col("simhash"), b * SimHashBandBits).bitwiseAND((1L << SimHashBandBits) - 1))
-    val exploded = sig.select(col("doc_id"), col("simhash"),
+  def simHashPairsOf(docs: DataFrame, bandBits: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnShim
+    val tables = simHashTables(bandBits)
+    val perWord = SimHashBits / bandBits
+    val words = (tables + perWord - 1) / perWord
+    val sigs = ColumnShim.column(graft.expressions.SimHashMulti(
+      ColumnShim.expression(col("text")), SimHashBits, words))
+    val sig = docs
+      .filter(size(tokens(col("text"))) > 0)
+      .select(col("doc_id"), sigs.as("sims"))
+    val mask = (1L << bandBits) - 1
+    val bandKeys = (0 until tables).map(t =>
+      shiftright(element_at(col("sims"), t / perWord + 1), (t % perWord) * bandBits)
+        .bitwiseAND(mask))
+    val exploded = sig.select(col("doc_id"),
+      element_at(col("sims"), 1).as("simhash"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
     exploded.as("x").join(exploded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -474,6 +546,13 @@ object Dedup {
       .withColumn("hamming", bit_count(col("a_sim").bitwiseXOR(col("b_sim"))))
       .filter(col("hamming") <= SimHashRadius)
       .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
+  }
+
+  /** The registry entry: one cheap count job sizes the band plan (the
+    * same count-then-plan adaptivity as [[embeddingPairs]]). */
+  def simHashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    simHashPairsOf(docs, simHashBandBits(docs.count()))
   }
 
   /** Embedding-cosine near-dup pairs via banded hyperplane LSH — the
@@ -1051,34 +1130,58 @@ object Dedup {
          |        WHERE d.doc_id IN (SELECT doc_id FROM exact_keep)
          |          AND d.doc_id NOT IN (SELECT doc_id FROM non_canon)) AS n_survivors""".stripMargin,
     "q_dedup_simhash" -> {
-      val h = h60.format("tok")
-      val bandMask = (1L << SimHashBandBits) - 1
-      s"""WITH tf AS (
+      // Salted per-word token hash: word 0 is the historical unsalted
+      // hash (the reported hamming keeps its 60-bit meaning); word
+      // k ≥ 1 mirrors SimHashMulti's "simw<k>_" salt.
+      val h = s"CASE WHEN wd = 0 THEN ${h60.format("tok")} ELSE " +
+        s"${h60.format("'simw' || wd || '_' || tok")} END"
+      // The adaptive plan as pure-integer CASE ladders generated from
+      // the SAME Scala functions the query calls (simHashBandBits /
+      // simHashTables) — both engines step at identical corpus sizes.
+      val wLadder = (SimHashMinBandBits until SimHashMaxBandBits)
+        .map(w => s"WHEN n <= ${(1L << w) * SimHashTargetOccupancy} THEN $w")
+        .mkString(" ")
+      val tablesLadder = (SimHashMinBandBits to SimHashMaxBandBits)
+        .map(w => s"WHEN $w THEN ${simHashTables(w)}").mkString(" ")
+      val maxTables = (SimHashMinBandBits to SimHashMaxBandBits).map(simHashTables).max
+      val maxWords = (SimHashMinBandBits to SimHashMaxBandBits).map(simHashWords).max
+      s"""WITH np AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |plan AS (
+         |  SELECT w, CASE w $tablesLadder END AS nt, $SimHashBits // w AS pw
+         |  FROM (SELECT CASE $wLadder ELSE $SimHashMaxBandBits END AS w FROM np)),
+         |plan2 AS (SELECT w, nt, pw, (nt + pw - 1) // pw AS words FROM plan),
+         |tf AS (
          |  SELECT doc_id, tok, count(*) AS c FROM (
          |    SELECT doc_id,
          |           unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tok
          |    FROM documents)
          |  GROUP BY 1, 2),
          |bits AS (
-         |  SELECT doc_id, j,
+         |  SELECT doc_id, wd, j,
          |         sum(c * ((($h >> j) & 1) * 2 - 1)) AS s
-         |  FROM tf, range(0, $SimHashBits) t(j)
-         |  GROUP BY 1, 2),
+         |  FROM tf, range(0, $maxWords) ww(wd), range(0, $SimHashBits) tj(j), plan2
+         |  WHERE wd < words
+         |  GROUP BY 1, 2, 3),
          |sig AS (
-         |  SELECT doc_id,
-         |         sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
-         |  FROM bits GROUP BY 1),
+         |  SELECT doc_id, wd,
+         |         sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS sim
+         |  FROM bits GROUP BY 1, 2),
          |bands AS (
-         |  SELECT doc_id, simhash, b.band,
-         |         (simhash >> (b.band * $SimHashBandBits)) & $bandMask AS bucket
-         |  FROM sig, (SELECT unnest(range(0, $NumBands)) AS band) b),
+         |  SELECT g.doc_id, tb.band,
+         |         (g.sim >> ((tb.band % pw) * w)) & ((1::BIGINT << w) - 1) AS bucket
+         |  FROM sig g, range(0, $maxTables) tb(band), plan2
+         |  WHERE tb.band < nt AND g.wd = tb.band // pw),
+         |sig0 AS (SELECT doc_id, sim FROM sig WHERE wd = 0),
          |cand AS (
-         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
-         |         x.simhash AS a_sim, y.simhash AS b_sim
+         |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
          |  FROM bands x JOIN bands y
          |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
-         |SELECT a_id, b_id, CAST(bit_count(xor(a_sim, b_sim)) AS INT) AS hamming
-         |FROM cand WHERE bit_count(xor(a_sim, b_sim)) <= $SimHashRadius
+         |SELECT c.a_id, c.b_id,
+         |       CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+         |FROM cand c
+         |JOIN sig0 a ON c.a_id = a.doc_id
+         |JOIN sig0 b ON c.b_id = b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= $SimHashRadius
          |ORDER BY 1, 2""".stripMargin
     },
     "q_dedup_embed" -> {

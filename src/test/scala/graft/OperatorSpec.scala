@@ -79,6 +79,86 @@ class OperatorSpec extends SparkSpec {
     assert(ham(sig(1L), sig(2L)) < ham(sig(1L), sig(3L)))
   }
 
+  test("simhash band plan: integer ladder pins, edge-recall contract at every rung") {
+    import Dedup._
+    // Floor regime = the historical 4 tables × 15 bits in one word,
+    // bit-identical up to occupancy×2^15 = 65536 docs.
+    assert(simHashBandBits(500) == 15 && simHashTables(15) == 4 && simHashWords(15) == 1)
+    assert(simHashBandBits(65536) == 15)
+    assert(simHashBandBits(65537) == 16)
+    // The measured sf3 rung: 150k docs -> 17-bit bands, 6 tables
+    // packed 3-per-word into 2 salted signature words.
+    assert(simHashBandBits(150000) == 17 && simHashTables(17) == 6 && simHashWords(17) == 2)
+    assert(simHashBandBits(Long.MaxValue) == SimHashMaxBandBits)
+    // Edge-recall contract holds at every rung: tables are re-derived
+    // so 1-(1-(1-r/60)^w)^tables >= the historical edge recall.
+    val pBit = 1.0 - SimHashRadius.toDouble / SimHashBits
+    (SimHashMinBandBits to SimHashMaxBandBits).foreach { w =>
+      val recall = 1.0 - math.pow(1.0 - math.pow(pBit, w), simHashTables(w))
+      assert(recall >= SimHashEdgeRecall,
+        s"w=$w tables=${simHashTables(w)} -> edge recall $recall")
+    }
+    // Occupancy stays within [occ/2, occ] past the floor — the bound
+    // that keeps candidate volume linear in N.
+    (65537L to 500000L by 4999).foreach { n =>
+      val cap = (1L << simHashBandBits(n)) * SimHashTargetOccupancy
+      assert(cap >= n && (simHashBandBits(n) == SimHashMinBandBits || cap < 2 * n))
+    }
+  }
+
+  test("simhash multi-word kernel: word 0 = historical signature; wide rung pairs") {
+    import org.apache.spark.sql.graft.ColumnShim
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val multi = docs.select(col("doc_id"), ColumnShim.column(
+        graft.expressions.SimHashMulti(
+          ColumnShim.expression(col("text")), Dedup.SimHashBits, 3)).as("sims"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val single = Dedup.simHashSignaturesOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    single.foreach { case (id, sig) =>
+      assert(multi(id).head == sig, s"word 0 of doc $id diverged from SimHash60")
+      // Salted words are genuinely independent projections, not copies.
+      assert(multi(id).distinct.size == 3, s"doc $id salted words collided: ${multi(id)}")
+    }
+    // The sf3 rung (17-bit bands, 6 tables over 2 words): the
+    // near-identical pair (tiny hamming -> band-clean probability
+    // ~1-2e-4 per the S-curve) must pair; everything emitted is
+    // canonical and within the radius.
+    val wide = Dedup.simHashPairsOf(docs, 17).collect()
+    assert(wide.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      s"17-bit rung missed the near-dup: ${wide.toSeq}")
+    wide.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getAs[Int]("hamming") <= Dedup.SimHashRadius)
+    }
+  }
+
+  test("simhash pairs floor rung = historical 4x15 banding (brute-force parity)") {
+    // The registry path at sf0.001 (500 docs) sits on the ladder floor;
+    // its output must equal a driver-side brute force of the historical
+    // semantics computed from the signatures alone: candidates iff any
+    // of the four 15-bit bands match, kept iff hamming <= radius.
+    val sigs = Dedup.simHashSignatures(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).sortBy(_._1)
+    val expected = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      (aId, aSig) = sigs(i); (bId, bSig) = sigs(j)
+      if (0 until 4).exists(b =>
+        ((aSig >> (b * 15)) & 0x7fff) == ((bSig >> (b * 15)) & 0x7fff))
+      ham = java.lang.Long.bitCount(aSig ^ bSig)
+      if ham <= Dedup.SimHashRadius
+    } yield (aId, bId, ham)).toSet
+    val got = Dedup.simHashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Int]("hamming"))).toSet
+    assert(got == expected,
+      s"extra=${got.diff(expected).take(5)} missing=${expected.diff(got).take(5)}")
+  }
+
   test("dedup pairs are canonical (a_id < b_id) and thresholded") {
     val j = Dedup.ngramJaccard(spark, sf).collect()
     assert(j.forall(r => r.getAs[Long]("a_id") < r.getAs[Long]("b_id")))
