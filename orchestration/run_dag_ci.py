@@ -94,7 +94,17 @@ def spark_submit(jar, marker, *args):
         print(tail)
         raise SystemExit(f"stage failed (rc={res.returncode}, "
                          f"marker {marker!r} {'found' if marker in res.stdout else 'missing'})")
-    print([ln for ln in res.stdout.splitlines() if marker in ln][0])
+    line = [ln for ln in res.stdout.splitlines() if marker in ln][0]
+    print(line)
+    return line
+
+
+def stage_rows(line):
+    """Extract the `rows=N` count a stage marker line reports."""
+    for tok in line.split():
+        if tok.startswith("rows="):
+            return int(tok[len("rows="):])
+    raise SystemExit(f"no rows= field in stage marker: {line!r}")
 
 
 def main():
@@ -112,7 +122,32 @@ def main():
     jar = jar_path()
     spark_submit(jar, "STAGE OK ingest", "ingest", bronze, silver)
     spark_submit(jar, "STAGE OK gold", "gold", silver, gold, derby, "TB_VENDAS")
-    spark_submit(jar, "STAGE OK check", "check", gold, derby, "TB_VENDAS")
+    check = spark_submit(jar, "STAGE OK check", "check", gold, derby, "TB_VENDAS")
+
+    # Grain parity, both implementations of the reference's vendas
+    # dataflow, one script — orchestration and registry can't drift:
+    #  (a) the orchestrated OlistVendas gold mart must sit on the
+    #      order-items grain of the fixture (every join is a left join
+    #      against a unique dimension side, so rows in == rows out);
+    n_items = len(BRONZE["olist/order_items"]) - 1  # minus header
+    n_gold = stage_rows(check)
+    assert n_gold == n_items, \
+        f"DAG gold mart broke the item grain: {n_gold} rows != {n_items} order_items"
+    #  (b) the registry's vendas_mart (the oracle-gated VendasMart
+    #      dataflow) must sit on the lineitem grain of the testdata the
+    #      oracle runs on — the same invariant, asserted against the
+    #      parquet footer row count (no Spark in the loop).
+    sf_dir = os.environ.get("GRAFT_CI_SF_DIR", "/root/testdata/sf0.001")
+    if os.path.isdir(sf_dir):
+        import pyarrow.parquet as pq
+        n_lineitem = pq.ParquetFile(
+            os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows
+        grain = spark_submit(jar, "STAGE OK grain", "grain", sf_dir)
+        n_mart = stage_rows(grain)
+        assert n_mart == n_lineitem, \
+            f"registry vendas_mart broke the item grain: {n_mart} rows != {n_lineitem} lineitem"
+    else:
+        print(f"(grain parity vs registry skipped: no testdata at {sf_dir})")
     print("== DAG CI RUN OK ==")
 
 

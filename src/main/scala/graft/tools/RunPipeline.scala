@@ -63,6 +63,19 @@ object RunPipeline {
           s"gold parquet ($nGold rows) and JDBC mirror ($nJdbc rows) disagree")
         println(s"STAGE OK check rows=$nGold table=$table")
       }
+    case "grain" :: sfDir :: Nil =>
+      // CI parity probe: the registry's vendas_mart (the oracle-gated
+      // dataflow, VendasMart.mart) must preserve the item grain — its
+      // row count equals the lineitem count. run_dag_ci.py asserts the
+      // printed count against the parquet row count, mirroring the
+      // order-items-grain assertion it makes on the orchestrated
+      // OlistVendas gold mart, so the two implementations of the
+      // reference's vendas dataflow cannot drift on the invariant the
+      // oracle checks (every left join keys a unique dimension side).
+      withSpark { s =>
+        val n = graft.operators.VendasMart.mart(s, sfDir).count()
+        println(s"STAGE OK grain rows=$n sf=$sfDir")
+      }
     case bronze :: silver :: gold :: Nil =>
       withSpark { s =>
         IngestJob.runAll(s, bronze, silver)
@@ -74,6 +87,7 @@ object RunPipeline {
         """usage: RunPipeline ingest <bronzeRoot> <silverRoot>
           |       RunPipeline gold <silverRoot> <goldRoot> [jdbcUrl table]
           |       RunPipeline check <goldRoot> <jdbcUrl> <table>
+          |       RunPipeline grain <sfDir>
           |       RunPipeline <bronzeRoot> <silverRoot> <goldRoot>""".stripMargin)
       sys.exit(2)
   }
