@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StructField, StructType}
 
 /** Native codegen'd dot product over two `array<double>` columns.
@@ -136,5 +136,70 @@ case class QuantizeStats(child: Expression, dim: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): QuantizeStats =
+    copy(child = newChild)
+}
+
+/** All hyperplane-LSH band buckets of a vector in ONE pass — the
+  * signature kernel of the scale-adaptive embedding near-dup banding
+  * (graft.operators.Similarity.bandedBuckets, consumed by
+  * Dedup.embeddingPairsOf).
+  *
+  * The declarative formulation built one `when(graft_dot(lit_plane, v)
+  * > 0, …)` expression per plane: at the ladder floor (4×8 = 32
+  * planes) that held inside the sf0.1 budget, but the r8 sf1 bench
+  * showed it dominating the adaptive rungs — 12 planes × 6 bands = 72
+  * root expressions per row, each re-dispatching into the projection
+  * interpreter (the wide CreateArray around them disables whole-stage
+  * codegen for the projection), which turned the rung step-up into
+  * 12.65× time for 10× data. This kernel evaluates the whole
+  * bands × planes × dim triple loop in primitive arithmetic: one
+  * expression node per row, zero boxing, O(bands·planes·dim) flops.
+  *
+  * Bit-exactness contract (pinned by GraftExpressionsSpec): plane i of
+  * band b is `planes(b·planesPerBand + p)`; each dot folds
+  * left-to-right in double over the common prefix (exactly
+  * [[DotProduct]]), and bit p of band b's bucket is set iff that dot
+  * is strictly positive — so buckets are bit-identical to the
+  * `when(dot > 0, 1L << p)` chain and to the DuckDB oracle's
+  * `list_reduce` + `CASE WHEN > 0` derivation. Accepts `array<float>`
+  * (widened per element) or `array<double>`.
+  */
+case class HyperplaneBands(child: Expression, planes: Seq[Seq[Double]],
+    planesPerBand: Int) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hyperplane_bands"
+
+  @transient private lazy val mat: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+  @transient private lazy val nBands: Int = planes.size / planesPerBand
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var bucket = 0L
+      var p = 0
+      while (p < planesPerBand) {
+        val plane = mat(b * planesPerBand + p)
+        val m = math.min(plane.length, n)
+        var s = 0.0
+        var j = 0
+        if (isFloat) while (j < m) { s += plane(j) * v.getFloat(j); j += 1 }
+        else while (j < m) { s += plane(j) * v.getDouble(j); j += 1 }
+        if (s > 0) bucket |= 1L << p
+        p += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBands =
     copy(child = newChild)
 }

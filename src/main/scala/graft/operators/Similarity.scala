@@ -80,14 +80,22 @@ object Similarity {
     * cosine. Used by [[graft.operators.Dedup.embeddingPairs]] to turn
     * the all-pairs cosine join into a bucket equi-join.
     */
-  def bandedBuckets(v: Column, nBands: Int, planesPerBand: Int): Column =
-    array((0 until nBands).map { b =>
-      (0 until planesPerBand).map { p =>
-        val plane = array((0 until Dim).map(j =>
-          lit(planeValue(b * planesPerBand + p, j))): _*)
-        when(dot(plane, v) > 0, lit(1L << p)).otherwise(0L)
-      }.reduce(_ + _)
-    }: _*)
+  def bandedBuckets(v: Column, nBands: Int, planesPerBand: Int): Column = {
+    // One native kernel call per row instead of bands × planes
+    // interpreted `when(dot(lit_plane, v) > 0, …)` roots: the wide
+    // declarative form disabled whole-stage codegen for the banding
+    // projection and went super-linear at the adaptive rungs (r8 sf1:
+    // 12.65× time for 10× data at the 8→12-plane step). The kernel
+    // preserves the exact fold order and strict `> 0` sign test, so
+    // buckets stay bit-identical (GraftExpressionsSpec pins parity
+    // against this declarative form).
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(graft.expressions.HyperplaneBands(
+      ColumnShim.expression(v),
+      (0 until nBands * planesPerBand).map(i =>
+        (0 until Dim).map(j => planeValue(i, j))),
+      planesPerBand))
+  }
 
   private def vectors(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)

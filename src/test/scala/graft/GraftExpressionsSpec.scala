@@ -190,6 +190,44 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(empty.head().isNullAt(0))
   }
 
+  test("HyperplaneBands matches the declarative when(dot > 0) banding bit-for-bit") {
+    import org.apache.spark.sql.graft.ColumnShim
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(57)
+    // Include near-axis vectors (tiny components) so some plane dots
+    // sit close to 0 — the strict `> 0` sign test must agree there too.
+    val vecs = (0 until 40).map(_ => Array.fill(64)(rnd.nextDouble() * 2 - 1)) ++
+      (0 until 10).map(_ => Array.fill(64)(rnd.nextDouble() * 2e-9 - 1e-9))
+    val df = vecs.toDF("v")
+    // The replaced declarative formulation, kept as the test oracle.
+    def declarative(nBands: Int, planesPerBand: Int) =
+      array((0 until nBands).map { b =>
+        (0 until planesPerBand).map { p =>
+          val plane = array((0 until Similarity.Dim).map(j =>
+            lit(Similarity.planeValue(b * planesPerBand + p, j))): _*)
+          when(TextFns.dot(plane, $"v") > 0, lit(1L << p)).otherwise(0L)
+        }.reduce(_ + _)
+      }: _*)
+    // Floor rung (4×8) and an off-floor adaptive rung (6×12).
+    Seq((4, 8), (6, 12)).foreach { case (nb, ppb) =>
+      df.select(Similarity.bandedBuckets($"v", nb, ppb), declarative(nb, ppb))
+        .collect().foreach { r =>
+          assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+            s"bands diverged at $nb×$ppb")
+        }
+    }
+    // array<float> input widens per element exactly like toDoubleArray.
+    val fdf = vecs.map(_.map(_.toFloat)).toDF("embedding")
+    val fromFloat = fdf.select(ColumnShim.column(graft.expressions.HyperplaneBands(
+      ColumnShim.expression($"embedding"),
+      (0 until 32).map(i => (0 until 64).map(j => Similarity.planeValue(i, j))), 8)))
+      .collect().map(_.getSeq[Long](0))
+    val viaDouble = fdf
+      .select(Similarity.bandedBuckets(transform($"embedding", _.cast("double")), 4, 8))
+      .collect().map(_.getSeq[Long](0))
+    fromFloat.zip(viaDouble).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("CharNgramFingerprint matches the charShingles HOF pair, incl. short and non-BMP texts") {
     import org.apache.spark.sql.graft.ColumnShim
     val rnd = new scala.util.Random(31)
