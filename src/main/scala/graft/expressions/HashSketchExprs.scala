@@ -40,6 +40,33 @@ private[expressions] object HashKernel {
     h
   }
 
+  /** BOTH 60-bit halves of one md5 — hex digits [1,15] and [16,30] —
+    * so two signature words cost ONE digest (md5 dominates the
+    * per-token cost; the 128-bit digest was feeding only 60 bits).
+    * `out(0)` is bit-identical to [[hash60]]; `out(1)` is DuckDB's
+    * `CAST('0x' || substr(md5(s), 16, 15) AS BIGINT)`.
+    */
+  def hash120(s: String, out: Array[Long]): Unit = {
+    val md = digest.get()
+    md.reset()
+    val bytes = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) {
+      val b = bytes(i) & 0xff
+      if (i < 7) h = (h << 8) | b
+      else h = (h << 4) | (b >>> 4)
+      i += 1
+    }
+    out(0) = h
+    // Hex digit 16 is the LOW nibble of byte 7; digits 17-30 are
+    // bytes 8-14 — 4 + 56 = 60 bits.
+    h = (bytes(7) & 0xfL)
+    i = 8
+    while (i < 15) { h = (h << 8) | (bytes(i) & 0xff); i += 1 }
+    out(1) = h
+  }
+
   /** Whitespace tokens, empties dropped (= `TextFns.tokens`). */
   def tokenize(text: String): mutable.ArrayBuffer[String] = {
     val toks = mutable.ArrayBuffer.empty[String]
@@ -177,14 +204,18 @@ case class SimHash60(child: Expression, bits: Int)
   * (graft.operators.Dedup.simHashPairsOf), where band keys wider than
   * 15 bits need more than 60 signature bits to stay non-overlapping.
   *
-  * Word 0 hashes each distinct token as `hash60(tok)` — bit-identical
-  * to [[SimHash60]], so the reported hamming distance keeps its
-  * historical 60-bit definition at every ladder rung. Word k ≥ 1
-  * hashes `hash60("simw<k>_" + tok)`: an independent projection of the
-  * same token-frequency vector (the DuckDB oracle derives the same
-  * salted md5). Tokenization and the frequency map are shared across
-  * words; only the per-distinct-token hash and the 60 signed sums
-  * repeat, so cost is O(words × distinct tokens), not O(words × text).
+  * Words come in PAIRS sharing one md5 digest ([[HashKernel.hash120]]:
+  * a digest is 128 bits and a word consumes 60, so burning a fresh
+  * digest per word — as the first adaptive cut did — doubles the
+  * kernel's dominant cost exactly at the first ladder rung crossing,
+  * which the r8 sf1→sf3 bench measured as a 3.13× step for 3× data).
+  * Pair 0 hashes the raw token: word 0 is hex[1,15] of md5(tok) —
+  * bit-identical to [[SimHash60]], so the reported hamming keeps its
+  * historical meaning at every rung — and word 1 is hex[16,30]. Pair
+  * k ≥ 1 salts the digest as `md5("simd<k>_" + tok)` (the DuckDB
+  * oracle derives the same split digits from the same salted md5).
+  * Tokenization and the frequency map are shared across words, so
+  * cost is O(⌈words/2⌉ digests × distinct tokens).
   */
 case class SimHashMulti(child: Expression, bits: Int, words: Int)
     extends UnaryExpression with CodegenFallback {
@@ -197,17 +228,24 @@ case class SimHashMulti(child: Expression, bits: Int, words: Int)
     val counts = mutable.HashMap.empty[String, Long]
     HashKernel.tokenize(text).foreach(t => counts.update(t, counts.getOrElse(t, 0L) + 1L))
     val sums = Array.ofDim[Long](words, bits)
+    val nPairs = (words + 1) / 2
+    val h2 = new Array[Long](2)
     counts.foreach { case (tok, c) =>
-      var wd = 0
-      while (wd < words) {
-        val h = HashKernel.hash60(if (wd == 0) tok else "simw" + wd + "_" + tok)
-        val s = sums(wd)
-        var j = 0
-        while (j < bits) {
-          s(j) += c * (((h >>> j) & 1L) * 2L - 1L)
-          j += 1
+      var pair = 0
+      while (pair < nPairs) {
+        HashKernel.hash120(if (pair == 0) tok else "simd" + pair + "_" + tok, h2)
+        var half = 0
+        while (half < 2 && pair * 2 + half < words) {
+          val h = h2(half)
+          val s = sums(pair * 2 + half)
+          var j = 0
+          while (j < bits) {
+            s(j) += c * (((h >>> j) & 1L) * 2L - 1L)
+            j += 1
+          }
+          half += 1
         }
-        wd += 1
+        pair += 1
       }
     }
     val packed = new Array[Long](words)

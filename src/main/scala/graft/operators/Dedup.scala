@@ -1130,11 +1130,15 @@ object Dedup {
          |        WHERE d.doc_id IN (SELECT doc_id FROM exact_keep)
          |          AND d.doc_id NOT IN (SELECT doc_id FROM non_canon)) AS n_survivors""".stripMargin,
     "q_dedup_simhash" -> {
-      // Salted per-word token hash: word 0 is the historical unsalted
-      // hash (the reported hamming keeps its 60-bit meaning); word
-      // k ≥ 1 mirrors SimHashMulti's "simw<k>_" salt.
-      val h = s"CASE WHEN wd = 0 THEN ${h60.format("tok")} ELSE " +
-        s"${h60.format("'simw' || wd || '_' || tok")} END"
+      // Per-word token hash, words paired on one digest (mirrors
+      // SimHashMulti / HashKernel.hash120): even word 2k is hex[1,15]
+      // and odd word 2k+1 is hex[16,30] of md5 of the pair-k string —
+      // the raw token for pair 0 (word 0 stays the historical
+      // unsalted hash, so the reported hamming keeps its meaning),
+      // "simd<k>_"-salted for pairs k ≥ 1.
+      val pairStr = "CASE WHEN wd < 2 THEN tok ELSE 'simd' || (wd // 2) || '_' || tok END"
+      val h = s"CASE WHEN wd % 2 = 0 THEN CAST('0x' || substr(md5($pairStr), 1, 15) AS BIGINT) " +
+        s"ELSE CAST('0x' || substr(md5($pairStr), 16, 15) AS BIGINT) END"
       // The adaptive plan as pure-integer CASE ladders generated from
       // the SAME Scala functions the query calls (simHashBandBits /
       // simHashTables) — both engines step at identical corpus sizes.

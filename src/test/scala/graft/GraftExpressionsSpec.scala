@@ -190,6 +190,27 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(empty.head().isNullAt(0))
   }
 
+  test("SimHashMulti word pairing: both 60-bit md5 halves, salted digests per pair") {
+    import org.apache.spark.sql.graft.ColumnShim
+    // A one-token doc's signature word IS the token hash (a single
+    // +1/-1 vote per bit), so the digest-split formula is directly
+    // observable: word 2k = hex[1,15], word 2k+1 = hex[16,30] of
+    // md5(pair-k string) — raw token for pair 0, "simd<k>_" salt after.
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def half(s: String, i: Int) = java.lang.Long.parseLong(md5hex(s).substring(15 * i, 15 * (i + 1)), 16)
+    val words = Seq("zq1", "kx9")
+    words.foreach { w =>
+      val got = Seq(Tuple1(w)).toDF("text")
+        .select(ColumnShim.column(graft.expressions.SimHashMulti(
+          ColumnShim.expression($"text"), 60, 5)))
+        .head().getSeq[Long](0)
+      val want = Seq(half(w, 0), half(w, 1),
+        half(s"simd1_$w", 0), half(s"simd1_$w", 1), half(s"simd2_$w", 0))
+      assert(got == want, s"token $w: $got != $want")
+    }
+  }
+
   test("HyperplaneBands matches the declarative when(dot > 0) banding bit-for-bit") {
     import org.apache.spark.sql.graft.ColumnShim
     import graft.operators.Similarity
