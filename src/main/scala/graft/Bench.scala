@@ -114,7 +114,14 @@ object Bench {
     // re-executes the full plan — no result caching; only the
     // deliberately-persisted index frames above are warm, which is the
     // documented index-reuse behavior.
+    // Optional dev-loop subset (comma-separated query names): iterate
+    // on one query's plan without paying the full 82-query sweep.
+    // Recorded legs (bench_sf*.json) are always full runs — a subset
+    // run's totals are meaningless and its _meta.n_queries says so.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val nAttempts = 3
     // samples(qi): successful (seconds, metrics-snapshot) attempts;
     // probes(qi): the sentinel timing taken right before each attempt

@@ -1,9 +1,21 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StructField, StructType}
+
+/** Shared input-type guard for the vector kernels: analysis-time
+  * rejection of non-`array<float|double>` children, instead of a
+  * ClassCastException at execution time.
+  */
+private[expressions] object VectorExprs {
+  def isFloatingArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+}
 
 /** Native codegen'd dot product over two `array<double>` columns.
   *
@@ -17,7 +29,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * so results stay bit-identical to the DuckDB oracle's `list_reduce`.
   *
   * Semantics pinned by GraftExpressionsSpec: unequal lengths fold the
-  * common prefix; a null array yields null (nullSafe).
+  * common prefix; a null array yields null (nullSafe). Either side may
+  * be `array<float>` — elements are widened to double per element
+  * (exact, so the result is bit-identical to casting the array first),
+  * which lets the pairwise-cosine verify joins shuffle raw float
+  * vectors at half the bytes of their double form.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -26,13 +42,31 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_dot"
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(left, right).zip(Seq("left", "right")).collectFirst {
+      case (e, side) if !VectorExprs.isFloatingArray(e.dataType) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires the $side input to be array<float> or " +
+            s"array<double>, got ${e.dataType.catalogString}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val leftFloat = isFloat(left)
+  @transient private lazy val rightFloat = isFloat(right)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      val xe = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val ye = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xe * ye
+      i += 1
+    }
     s
   }
 
@@ -41,11 +75,13 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val xe = if (leftFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val ye = if (rightFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |  $s += $xe * $ye;
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -94,6 +130,12 @@ case class QuantizeStats(child: Expression, dim: Int)
     StructField("mse", DoubleType, nullable = false)))
 
   override def prettyName: String = "graft_quantize_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorExprs.isFloatingArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> or array<double> input, " +
+        s"got ${child.dataType.catalogString}")
 
   // Always nullable regardless of the child: an EMPTY array yields a
   // null struct (mirroring array_max(empty) = null upstream), even
@@ -163,12 +205,30 @@ case class QuantizeStats(child: Expression, dim: Int)
   * `when(dot > 0, 1L << p)` chain and to the DuckDB oracle's
   * `list_reduce` + `CASE WHEN > 0` derivation. Accepts `array<float>`
   * (widened per element) or `array<double>`.
+  *
+  * Null contract — a DELIBERATE divergence from the declarative form:
+  * a null vector yields a null bucket ARRAY (nullSafe), where the
+  * `when(dot > 0, …).otherwise(0L)` chain produced all-zero buckets
+  * (graft_dot's null propagates into `when`'s condition, which reads
+  * null as false). Banding a vector that does not exist is undefined;
+  * null-out beats a fabricated all-zeros bucket that would collide
+  * every null vector into one candidate clique. Consumers posexplode
+  * the array, so null vectors simply leave the banding path — and the
+  * final pair set is unaffected either way (a null vector's cosine is
+  * null, which the verify filter drops). Pinned in
+  * GraftExpressionsSpec alongside the non-null parity cases.
   */
 case class HyperplaneBands(child: Expression, planes: Seq[Seq[Double]],
     planesPerBand: Int) extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_hyperplane_bands"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorExprs.isFloatingArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> or array<double> input, " +
+        s"got ${child.dataType.catalogString}")
 
   @transient private lazy val mat: Array[Array[Double]] =
     planes.map(_.toArray).toArray

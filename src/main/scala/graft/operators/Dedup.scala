@@ -305,6 +305,36 @@ object Dedup {
     cache.putIfAbsent((spark, sfDir), holder).getOrElse(holder).df
   }
 
+  /** Memoized corpus row counts — the sizing input of the scale
+    * ladders ([[simHashBandBits]], [[embedPlanes]]). A ladder query
+    * must know N before it can declare its band plan, but charging a
+    * full count job to EVERY registry invocation is an extra corpus
+    * scan per query at 100 TB; one count per (session, corpus, table)
+    * is the honest price (at cluster scale this is a parquet
+    * footer-metadata sum — row counts live in the file footers, no
+    * data pages are read). Prewarm charges it to `index_build`
+    * alongside the persisted index frames it sits with. Values are
+    * plain Longs, so a two-thread race just counts twice and agrees;
+    * stopped-session keys are swept like the frame caches.
+    */
+  private val countCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Long]
+  private def memoizedCount(spark: SparkSession, sfDir: String, table: String)(
+      df: => DataFrame): Long = {
+    countCache.keySet.foreach { k =>
+      if (k._1.sparkContext.isStopped) countCache.remove(k)
+    }
+    countCache.getOrElseUpdate((spark, sfDir, table), df.count())
+  }
+
+  /** Corpus document count, memoized per (session, corpus). */
+  def documentCount(spark: SparkSession, sfDir: String): Long =
+    memoizedCount(spark, sfDir, "documents")(Tables.documents(spark, sfDir))
+
+  /** Corpus embedding count, memoized per (session, corpus). */
+  def embeddingCount(spark: SparkSession, sfDir: String): Long =
+    memoizedCount(spark, sfDir, "embeddings")(Tables.embeddings(spark, sfDir))
+
   /** Memoized persisted (doc_id, 3-gram) inverted index — the shared
     * substrate of the Jaccard ground truth and the boilerplate-
     * coverage query. One persisted frame per (session, corpus), the
@@ -548,11 +578,12 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
   }
 
-  /** The registry entry: one cheap count job sizes the band plan (the
-    * same count-then-plan adaptivity as [[embeddingPairs]]). */
+  /** The registry entry: the band plan is sized from the MEMOIZED
+    * corpus count ([[documentCount]] — one count per corpus, charged
+    * to index_build by prewarm), not a per-invocation count job. */
   def simHashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    simHashPairsOf(docs, simHashBandBits(docs.count()))
+    simHashPairsOf(docs, simHashBandBits(documentCount(spark, sfDir)))
   }
 
   /** Embedding-cosine near-dup pairs via banded hyperplane LSH — the
@@ -575,27 +606,39 @@ object Dedup {
   def embeddingPairsOf(embs: DataFrame,
       planesPerBand: Int = EmbedPlanesPerBand): DataFrame = {
     val nBands = embedBands(planesPerBand)
-    val e = embs
-      .select(col("vec_id"), toDoubleArray(col("embedding")).as("v"))
-      .withColumn("nrm", l2norm(col("v")))
-    val banded = e.select(col("vec_id"),
-      posexplode(Similarity.bandedBuckets(col("v"), nBands, planesPerBand))
+    // Banding reads the raw float vectors (HyperplaneBands widens per
+    // element — bit-identical to banding the double-cast array).
+    val banded = embs.select(col("vec_id"),
+      posexplode(Similarity.bandedBuckets(col("embedding"), nBands, planesPerBand))
         .as(Seq("band", "bucket")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
       .distinct()
-    val a = e.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
-    val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+    // The verify join's shuffled payload is the dominant cost term of
+    // the whole query: the (a_id, b_id, a-vector) intermediate is
+    // re-shuffled by b_id for the second join, so its bytes scale with
+    // CANDIDATES × vector width (r8 measured 548 MB of the sf3 query's
+    // shuffle here). Carry the RAW float vectors (~260 B/row) instead
+    // of their double cast plus a precomputed norm (~530 B/row) and do
+    // all arithmetic after the last shuffle — DotProduct widens floats
+    // per element, so cosine is bit-identical to the double-array form
+    // while the shuffle halves. Norms are recomputed per candidate
+    // (128 flops) — arithmetic is three orders of magnitude cheaper
+    // than shuffle bytes at this shape.
+    val a = embs.select(col("vec_id").as("a_id"), col("embedding").as("av"))
+    val b = embs.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
     cand.join(a, Seq("a_id")).join(b, Seq("b_id"))
-      .withColumn("cosine", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .withColumn("cosine",
+        dot(col("av"), col("bv")) / (l2norm(col("av")) * l2norm(col("bv"))))
       .filter(col("cosine") >= CosineThreshold)
       .select(col("a_id"), col("b_id"), round(col("cosine"), 4).as("cosine"))
   }
 
-  /** The registry entry: derives the plane count from the corpus size
-    * (one cheap count job — at cluster scale a parquet metadata scan)
+  /** The registry entry: derives the plane count from the MEMOIZED
+    * corpus size ([[embeddingCount]] — one count per corpus, not per
+    * invocation; at cluster scale a parquet footer-metadata sum)
     * before declaring the banded plan. The count-then-plan step is the
     * same adaptivity AQE applies to shuffle partitioning, lifted to the
     * LSH layout: the bucket space is a function of N, not a constant of
@@ -604,7 +647,7 @@ object Dedup {
     */
   def embeddingPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val embs = Tables.embeddings(spark, sfDir)
-    embeddingPairsOf(embs, embedPlanes(embs.count()))
+    embeddingPairsOf(embs, embedPlanes(embeddingCount(spark, sfDir)))
   }
 
   /** All-pairs exact cosine ≥ threshold — ground truth for
@@ -888,6 +931,8 @@ object Dedup {
     * to run first paying the one-time index build.
     */
   def prewarm(spark: SparkSession, sfDir: String): Unit = {
+    documentCount(spark, sfDir)
+    embeddingCount(spark, sfDir)
     fingerprints(spark, sfDir).count()
     shingleIndex(spark, sfDir).count()
     minHashSignatures(spark, sfDir).count()

@@ -53,6 +53,44 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(df.select(TextFns.dot($"a", $"b")).head().getDouble(0) == 50.0)
   }
 
+  test("DotProduct on array<float> is bit-identical to the double-cast form") {
+    // The embed verify join shuffles RAW float vectors and dots them
+    // directly — per-element float→double widening is exact, so the
+    // result must match casting the whole array first, bit-for-bit.
+    val rnd = new scala.util.Random(91)
+    val vecs = (0 until 30).map { _ =>
+      (Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat),
+        Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val df = vecs.toDF("a", "b")
+    val viaDouble = TextFns.dot(
+      transform($"a", _.cast("double")), transform($"b", _.cast("double")))
+    df.select(TextFns.dot($"a", $"b"), viaDouble,
+        TextFns.dot($"a", transform($"b", _.cast("double"))))
+      .collect().foreach { case Row(f: Double, d: Double, m: Double) =>
+        assert(java.lang.Double.doubleToLongBits(f) ==
+          java.lang.Double.doubleToLongBits(d))
+        assert(java.lang.Double.doubleToLongBits(m) ==
+          java.lang.Double.doubleToLongBits(d))
+      }
+  }
+
+  test("vector kernels reject non-floating-array inputs at analysis time") {
+    import org.apache.spark.sql.graft.ColumnShim
+    val df = Seq((Array(1L, 2L), "notavector")).toDF("ints", "s")
+    def analyzed(c: org.apache.spark.sql.Column) =
+      intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(c).queryExecution.analyzed
+      }
+    analyzed(TextFns.dot($"ints", $"ints"))
+    analyzed(TextFns.dot($"s", $"s"))
+    analyzed(ColumnShim.column(graft.expressions.HyperplaneBands(
+      ColumnShim.expression($"ints"),
+      (0 until 8).map(_ => (0 until 64).map(_ => 0.5)), 8)))
+    analyzed(ColumnShim.column(
+      graft.expressions.QuantizeStats(ColumnShim.expression($"s"), 64)))
+  }
+
   test("TextShingles matches array_distinct(shingles(tokens(text)))") {
     val rnd = new scala.util.Random(7)
     val words = Seq("alpha", "beta", "gamma", "delta", "x", "", " ")
@@ -247,6 +285,16 @@ class GraftExpressionsSpec extends SparkSpec {
       .select(Similarity.bandedBuckets(transform($"embedding", _.cast("double")), 4, 8))
       .collect().map(_.getSeq[Long](0))
     fromFloat.zip(viaDouble).foreach { case (a, b) => assert(a == b) }
+    // Null contract (a DELIBERATE divergence from the declarative
+    // form, which banded a null vector into all-zero buckets): null
+    // vector in → null bucket array out, so null vectors leave the
+    // banding path at posexplode instead of forming a fake clique in
+    // bucket 0 of every band.
+    val ndf = Seq(Option.empty[Array[Double]], Some(Array.fill(64)(0.25)))
+      .toDF("v")
+    val nulls = ndf.select(Similarity.bandedBuckets($"v", 4, 8)).collect()
+    assert(nulls(0).isNullAt(0))
+    assert(!nulls(1).isNullAt(0))
   }
 
   test("CharNgramFingerprint matches the charShingles HOF pair, incl. short and non-BMP texts") {
