@@ -15,7 +15,11 @@ object Bench {
     // else it is inferred as max(BENCH_r<N>.json in cwd) + 1 (the
     // driver writes BENCH_r<N>.json only AFTER this run, so the
     // inference names the round in progress).
-    val sidePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDE", "bench_queries.json")
+    // A subset run (SPARK_GRAFT_BENCH_ONLY below) must never clobber
+    // the repo's full-sweep record under the default side-file name.
+    val sidePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDE",
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "bench_queries_subset.json"
+      else "bench_queries.json")
     val roundTag: String = sys.env.get("SPARK_GRAFT_ROUND").getOrElse {
       val re = "BENCH_r(\\d+)\\.json".r
       val prev = Option(new java.io.File(".").listFiles()).toSeq.flatten

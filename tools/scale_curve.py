@@ -10,7 +10,22 @@ a family rollup; queries whose ratio exceeds the data multiplier are
 flagged (anything growing faster than the input is a scale risk; the
 multiplier itself is linear). Queries missing from either file, or
 with no successful run at either SF, are listed explicitly — a query
-that cannot be ratio'd must not silently pass the zero-flags check."""
+that cannot be ratio'd must not silently pass the zero-flags check.
+
+Flagging carries a 10% measurement tolerance (override with a 4th
+arg): a query at its linear asymptote (map-only text kernels, fully
+amortized shuffles) reads exactly `mult` ± run noise, and the r8/r9
+legs measured that noise at 5-10% even on 0-steal runs (probe floor
+spread, JIT state, page cache). Ratios in (mult, mult*(1+eps)] print
+as MARGINAL without failing the gate; ratios above the tolerance
+exit 1. A real quadratic term blows straight past 10% at the next
+doubling — the tolerance can't hide it — while a strict > mult gate
+re-flags exactly-linear queries forever (r8 flagged two zero-shuffle
+map kernels at 3.07x/3.12x for 3x data). Strategy-flip steps
+(broadcast->SMJ at a size threshold, ladder rung crossings) can
+legitimately exceed even the tolerance ONCE; those need a recorded
+adjudication in SCALE.md with a matched-phase step measured ~linear
+(the r9 sf1.5->sf3 mult-2 legs are the template)."""
 import json
 import sys
 
@@ -25,6 +40,7 @@ def fam(name):
 
 def main():
     small, big, mult = sys.argv[1], sys.argv[2], float(sys.argv[3])
+    eps = float(sys.argv[4]) if len(sys.argv) > 4 else 0.10
     s = json.load(open(small))
     b = json.load(open(big))
     meta_s, meta_b = s.pop("_meta"), b.pop("_meta")
@@ -40,13 +56,18 @@ def main():
             unratioed.append(name)
         else:
             rows.append((name, ms, mb, mb / ms))
-    print(f"{'query':28s} {'small':>8s} {'big':>8s} {'ratio':>7s}  (mult={mult:g})")
+    print(f"{'query':28s} {'small':>8s} {'big':>8s} {'ratio':>7s}  "
+          f"(mult={mult:g}, tolerance {eps:.0%})")
     flagged = []
+    marginal = []
     for name, ms, mb, r in rows:
         mark = ""
-        if r is not None and r > mult:
+        if r is not None and r > mult * (1.0 + eps):
             mark = " <-- SUPER-LINEAR"
             flagged.append(name)
+        elif r is not None and r > mult:
+            mark = " (marginal)"
+            marginal.append(name)
         rs = f"{r:.2f}" if r is not None else "n/a"
         print(f"{name:28s} {ms:8.3f} {mb:8.3f} {rs:>7s}{mark}")
     fams = {}
@@ -67,6 +88,9 @@ def main():
           f"big {meta_b['steal_probes']}/{meta_b['n_probes']}")
     if flagged:
         print(f"\nFLAGGED super-linear: {', '.join(flagged)}")
+    if marginal:
+        print(f"MARGINAL (> mult, within {eps:.0%} tolerance — not gating): "
+              f"{', '.join(marginal)}")
     if missing:
         print(f"\nNOT COMPARED (absent from one file): {', '.join(missing)}")
     if unratioed:
