@@ -52,15 +52,54 @@ UPPER = LOWER.upper()
 DIGIT = "0123456789"
 
 
+def _md5_perm(alphabet, seed):
+    """Deterministic Fisher–Yates permutation of `alphabet`, driven by
+    an md5 byte stream keyed on `seed` — no RNG module, stable across
+    runs and platforms."""
+    import hashlib
+    chars = list(alphabet)
+    stream = b""
+    counter = 0
+    need = 2 * len(chars)
+    while len(stream) < need:
+        stream += hashlib.md5(f"perm{seed}_{counter}".encode()).digest()
+        counter += 1
+    k = 0
+    for i in range(len(chars) - 1, 0, -1):
+        j = (stream[2 * k] * 256 + stream[2 * k + 1]) % (i + 1)
+        chars[i], chars[j] = chars[j], chars[i]
+        k += 1
+    return "".join(chars)
+
+
 def caesar_table(shard):
     if shard == 0:
         return None
+    if shard >= 26:
+        # A 26-letter alphabet has only 25 non-identity rotations, so
+        # rotation amounts MUST collide past 26 shards no matter how
+        # they cycle: the source vocabulary is letter-only, and the r9
+        # sf6/sf10 probes measured the consequence — shard k ≥ 26
+        # reproduced shard 1+(k-1)%25's documents byte-for-byte
+        # (distinct-text count saturated at 26 shard classes; sf10 was
+        # a genuine ~4×-duplicated corpus and the dedup family's
+        # ground-truth pair volume grew quadratically with the copy
+        # count, exactly as dedup semantics demand on duplicated
+        # input). Past the rotation budget, each shard gets a FULL
+        # md5-seeded alphabet permutation instead: 26!/25! ≫ any shard
+        # count, so shard vocabularies stay pairwise distinct at any
+        # multiplier, and three-token shingle collisions across
+        # differently-permuted shards are astronomically unlikely.
+        # Shards 1..25 keep the historical rotation so every corpus up
+        # to 26 shards (sf1, sf1.5, and the driver's own testdata) is
+        # byte-identical to what earlier rounds measured.
+        perm = (_md5_perm(LOWER, shard) + _md5_perm(UPPER, shard)
+                + _md5_perm(DIGIT, shard))
+        return str.maketrans(LOWER + UPPER + DIGIT, perm)
     # Rotation amounts cycle over 1..25 / 1..9 (never 0): a plain
     # `shard % 26` degenerates to the identity at shard 26 (and
     # `shard % 10` at shard 10), which would make those shards
-    # near-duplicates of shard 0 and blow up cross-shard near-dup
-    # pair counts quadratically — the exact artifact this generator
-    # exists to avoid.
+    # near-duplicates of shard 0.
     rl = 1 + (shard - 1) % 25
     rd = 1 + (shard - 1) % 9
     rot = (
