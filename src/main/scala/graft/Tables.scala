@@ -27,16 +27,35 @@ object Tables {
   def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which the
-    * Spark vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read the
-    * raw int64 nanos and integer-divide down to microseconds — the same
-    * truncation DuckDB applies when it reads the file — so both engines
-    * see identical values.
+  /** `events.parquet` has stored `ts` two ways across harness data
+    * generations: TIMESTAMP(NANOS) — which the Spark vectorized reader
+    * rejects ([PARQUET_TYPE_ILLEGAL]), so it is read as raw int64 nanos
+    * via `nanosAsLong` and integer-divided down to microseconds — and
+    * plain TIMESTAMP(MICROS) without UTC adjustment, which Spark reads
+    * as TIMESTAMP_NTZ. Both normalize here to session-TZ TimestampType
+    * at microsecond precision (sessions pin UTC), the same naive-micro
+    * value DuckDB sees reading the identical file, so both engines and
+    * both data generations agree cell-for-cell.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = table(spark, sfDir, "events")
+    normalizeTs(raw)
+  }
+
+  /** Normalize a `ts` column to TimestampType whatever the on-disk
+    * physical type was (int64 nanos / TIMESTAMP_NTZ micros / already
+    * TimestampType). Session time zone is pinned UTC by every entry
+    * point, so the NTZ cast is a pure reinterpretation, not a shift.
+    */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

@@ -49,18 +49,19 @@ object Streaming {
   }
 
   /** File-source stream over the harness `events.parquet` — the
-    * streaming twin of `Tables.events`, including the nanosecond-
-    * timestamp handling (read raw int64 nanos, divide to micros).
+    * streaming twin of `Tables.events`, including the same `ts`
+    * physical-type normalization (int64 nanos or TIMESTAMP_NTZ micros
+    * → session-TZ TimestampType; see `Tables.normalizeTs`).
     * `AvailableNow` processes the existing file(s) and terminates;
     * on a re-run with the same checkpoint only new files replay.
     */
   def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsDir).schema
-    spark.readStream
-      .schema(schema)
-      .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(schema)
+        .parquet(eventsDir))
   }
 
   /** Watermarked tumbling-window aggregation over an event stream
