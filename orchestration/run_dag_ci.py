@@ -107,7 +107,83 @@ def stage_rows(line):
     raise SystemExit(f"no rows= field in stage marker: {line!r}")
 
 
+def dagbag_lite_check():
+    """Scheduler-facing parity for the real DAG file. Airflow itself is
+    not installable offline (committed probe:
+    verify_offfloor/r10_env_probes.txt — pip DNS fails, zero egress),
+    so this replays what Airflow's DagBag import would see using
+    minimal structural stand-ins for DAG/SparkSubmitOperator: the
+    actual `dag_olist_pipeline.py` is imported (not parsed by regex)
+    and its dag_id, @once schedule (parity with the reference's @once
+    DAGs, e.g. b2s/orders.py), task ids, and `>>` dependency edges are
+    asserted. A broken import, renamed task, or re-wired chain fails CI
+    here exactly as a DagBag import test would."""
+    import importlib.util
+    import types
+
+    tasks = []
+
+    class _Task:
+        def __init__(self, task_id=None, **kw):
+            self.task_id = task_id
+            self.kwargs = kw
+            self.downstream = []
+            tasks.append(self)
+
+        def __rshift__(self, other):
+            self.downstream.append(other.task_id)
+            return other
+
+    class _DAG:
+        def __init__(self, dag_id=None, **kw):
+            self.dag_id = dag_id
+            self.kwargs = kw
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def _mod(name, **attrs):
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        return m
+
+    _mod("airflow", DAG=_DAG)
+    _mod("airflow.providers")
+    _mod("airflow.providers.apache")
+    _mod("airflow.providers.apache.spark")
+    _mod("airflow.providers.apache.spark.operators")
+    _mod("airflow.providers.apache.spark.operators.spark_submit",
+         SparkSubmitOperator=_Task)
+
+    spec = importlib.util.spec_from_file_location(
+        "dag_olist_pipeline",
+        os.path.join(REPO, "orchestration", "dag_olist_pipeline.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    ids = [t.task_id for t in tasks]
+    assert ids == ["bronze_to_silver", "silver_to_gold", "gold_check"], ids
+    edges = {t.task_id: t.downstream for t in tasks}
+    assert edges["bronze_to_silver"] == ["silver_to_gold"], edges
+    assert edges["silver_to_gold"] == ["gold_check"], edges
+    assert edges["gold_check"] == [], edges
+    assert m.dag.dag_id == "graft_olist_pipeline", m.dag.dag_id
+    assert m.dag.kwargs.get("schedule_interval") == "@once", m.dag.kwargs
+    for t in tasks:
+        assert t.kwargs.get("java_class") == "graft.tools.RunPipeline", t.kwargs
+    print("== DAGBAG-LITE OK (bronze_to_silver >> silver_to_gold >> "
+          "gold_check, @once) ==")
+
+
 def main():
+    dagbag_lite_check()
+    if "--dagbag-only" in sys.argv:
+        return
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_dag_ci"
     shutil.rmtree(work, ignore_errors=True)
     bronze, silver, gold = (os.path.join(work, d)
