@@ -42,7 +42,7 @@ object Bench {
       .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
     val initPartitions =
       math.min(1024L, math.max(cpus.toLong, sfBytes / (1L << 20))).toInt
-    val spark = SparkSession.builder()
+    val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
@@ -54,7 +54,7 @@ object Bench {
       // a high-dup corpus). With AQE off the static estimate can
       // silently degrade that semi-join to a full shuffle.
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val metrics = new tools.StageMetricsListener

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-time session-setup home for the SQL confs every graft entry
+  * point needs — previously `Tables.events` set `nanosAsLong` inside
+  * the accessor on every call (a global side effect in a reader).
+  *
+  * Why the confs exist:
+  *  - `spark.sql.legacy.parquet.nanosAsLong`: the harness
+  *    `events.parquet` stores `ts` as TIMESTAMP(NANOS) in one data
+  *    generation, which the vectorized reader otherwise rejects
+  *    ([PARQUET_TYPE_ILLEGAL]); with the flag the column reads as raw
+  *    int64 nanos and [[Tables.normalizeTs]] divides down to micros.
+  *  - `spark.sql.session.timeZone=UTC`: the other generation stores
+  *    TIMESTAMP(MICROS) without UTC adjustment (read as
+  *    TIMESTAMP_NTZ), and its cast to TimestampType is a pure
+  *    reinterpretation only under UTC — [[Tables.normalizeTs]]
+  *    asserts this rather than assuming it.
+  */
+object GraftSession {
+  val NanosAsLong = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Apply the graft session confs at build time. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
+      .config(NanosAsLong, "true")
+
+  /** Idempotent guard for sessions built OUTSIDE the library's entry
+    * points (the driver smoke-checks `SparkEntry.entry` with its own
+    * session): reading `events.parquet` of the nanos generation fails
+    * at schema time without the flag, so accessors that touch events
+    * call this first. No-op when the conf is already set.
+    */
+  def ensureNanosAsLong(spark: SparkSession): Unit =
+    if (!spark.conf.getOption(NanosAsLong).contains("true"))
+      spark.conf.set(NanosAsLong, "true")
+}

@@ -38,22 +38,33 @@ object Tables {
     * both data generations agree cell-for-cell.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, sfDir, "events")
-    normalizeTs(raw)
+    // Guard only (no-op for sessions built via GraftSession.configure,
+    // i.e. every library entry point): the driver smoke-checks
+    // SparkEntry.entry with a session the library didn't build, and a
+    // nanos-generation events file fails at schema time without it.
+    GraftSession.ensureNanosAsLong(spark)
+    normalizeTs(table(spark, sfDir, "events"))
   }
 
   /** Normalize a `ts` column to TimestampType whatever the on-disk
     * physical type was (int64 nanos / TIMESTAMP_NTZ micros / already
-    * TimestampType). Session time zone is pinned UTC by every entry
-    * point, so the NTZ cast is a pure reinterpretation, not a shift.
+    * TimestampType). The nanos branch is TZ-independent; the NTZ cast
+    * is a pure reinterpretation only when the session time zone is
+    * UTC, which is asserted here (every entry point pins it) rather
+    * than assumed — in a non-UTC session the two data generations
+    * would otherwise silently disagree by the zone offset.
     */
   private[graft] def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampNTZType =>
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events NTZ->timestamp normalization requires a UTC session, got $tz " +
+            "(build the session via GraftSession.configure)")
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _                => df
     }
   }

@@ -11,7 +11,7 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val subset = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // AQE is pinned ON (the Spark 4 default) rather than assumed:
@@ -21,8 +21,7 @@ object Verify {
       // a high-dup corpus). With AQE off the static estimate can
       // silently degrade that semi-join to a full shuffle.
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

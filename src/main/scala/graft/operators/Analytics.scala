@@ -231,14 +231,21 @@ object Analytics {
   /** Sketch aggregates — the cardinality/quantile tools that replace
     * exact distinct counts at 100 TB: HyperLogLog++ distinct (2%
     * relative error, fixed 16 KB of state per group vs an unbounded
-    * distinct-set) and GK approximate percentiles. No SQL oracle —
-    * sketch outputs are engine-specific; the driver records the
-    * rows-only check, and the exact counterparts (`q_agg_distinct`,
-    * `q_percentiles`) remain fully oracle-verified.
+    * distinct-set) and GK approximate percentiles. The raw sketch
+    * outputs are engine-specific, so they are NOT emitted; instead
+    * the query emits the exact twins plus deterministic BOOLEAN
+    * verdicts that the sketches landed inside their error bounds —
+    * `distinct_ok` (HLL within 2× the configured 2% rsd) and
+    * `median_ok` (GK median inside the exact [p0.495, p0.505] value
+    * band, 5× the 1/accuracy=0.001 rank guarantee). The DuckDB oracle
+    * computes the same exact columns and asserts the verdicts as
+    * literal `true`, turning the former rows-only check into a real
+    * differential: a broken sketch flips a verdict to `false` and the
+    * hash comparison fails.
     *
-    * Plan note: the exact-distinct audit column deliberately runs as
-    * its OWN aggregation, broadcast-joined back on the 3-row group
-    * key. Mixing a DISTINCT aggregate with object aggregates
+    * Plan note: the exact twins deliberately run as their OWN
+    * aggregations, broadcast-joined back on the 3-row group key.
+    * Mixing a DISTINCT aggregate with object aggregates
     * (percentile/HLL) in one `agg` makes Spark plan an Expand over
     * every row plus a sort-based object-agg fallback — measured 21 s
     * vs 2 s for the split form at sf0.1, and the Expand doubles
@@ -252,12 +259,23 @@ object Analytics {
         count(lit(1)).as("n_rows"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
-    val exact = li
+    val exactDistinct = li
       .groupBy("l_returnflag")
       .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
-    sketches.join(broadcast(exact), Seq("l_returnflag"))
-      .select(col("l_returnflag"), col("n_rows"), col("approx_orders"),
-        col("exact_orders"), col("approx_median"))
+    val exactBand = li
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.495D, 0.505D))").as("band"))
+    sketches
+      .join(broadcast(exactDistinct), Seq("l_returnflag"))
+      .join(broadcast(exactBand), Seq("l_returnflag"))
+      .select(
+        col("l_returnflag"), col("n_rows"), col("exact_orders"),
+        round(element_at(col("band"), 1), 4).as("median_lo"),
+        round(element_at(col("band"), 2), 4).as("median_hi"),
+        (abs(col("approx_orders") - col("exact_orders")) <=
+          col("exact_orders") * lit(0.04)).as("distinct_ok"),
+        (col("approx_median") >= element_at(col("band"), 1) &&
+          col("approx_median") <= element_at(col("band"), 2)).as("median_ok"))
       .orderBy("l_returnflag")
   }
 
@@ -278,6 +296,19 @@ object Analytics {
     "q_string_funcs" -> (stringFuncs _))
 
   val oracleSql: Map[String, String] = Map(
+    // The sketch-audit differential: exact columns are cross-checked
+    // cell-for-cell; the two verdict booleans are asserted literally
+    // `true` — if a Spark sketch lands outside its error bound the
+    // Spark side emits `false` and the hash comparison fails.
+    "q_approx_stats" ->
+      """SELECT l_returnflag,
+        |       count(*) AS n_rows,
+        |       count(DISTINCT l_orderkey) AS exact_orders,
+        |       round(quantile_cont(l_extendedprice, 0.495), 4) AS median_lo,
+        |       round(quantile_cont(l_extendedprice, 0.505), 4) AS median_hi,
+        |       true AS distinct_ok,
+        |       true AS median_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS g_id,

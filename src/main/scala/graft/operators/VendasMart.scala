@@ -53,6 +53,49 @@ object VendasMart {
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice", "l_discount")
     val ord = Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_custkey", "o_orderdate")
+    martFrom(spark, sfDir, li, ord)
+  }
+
+  /** Silver-layout bucketing option for the mart's one at-scale SMJ.
+    *
+    * Past the broadcast thresholds the lineitem⟕orders join is a
+    * sort-merge join whose both sides exchange on the order key
+    * (measured 1,115 MB of shuffle at sf3 — SCALE.md). A silver layer
+    * that WRITES the two fact tables bucketed+sorted on that key pays
+    * that shuffle once at ingest; every downstream mart build then
+    * sort-merge-joins bucket-to-bucket with no exchange and no sort —
+    * the standard warehouse layout for a join key that every gold job
+    * reuses. At 100 TB this is the difference between re-shuffling two
+    * fact tables per mart build and never shuffling them again.
+    *
+    * Bucket metadata lives in the session catalog (`saveAsTable` —
+    * path-only parquet has nowhere to record it), so the tables land
+    * in the warehouse under the given names.
+    */
+  def bucketedSilver(spark: SparkSession, sfDir: String, nBuckets: Int,
+      liTable: String = "graft_silver_lineitem_b",
+      ordTable: String = "graft_silver_orders_b"): Unit = {
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice", "l_discount")
+      .write.bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").format("parquet").saveAsTable(liTable)
+    Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+      .write.bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").format("parquet").saveAsTable(ordTable)
+  }
+
+  /** The mart over a bucketed silver layout (see [[bucketedSilver]]):
+    * identical dataflow, fact sides read from the bucketed catalog
+    * tables so the l_orderkey=o_orderkey SMJ plans exchange-free.
+    */
+  def martBucketed(spark: SparkSession, sfDir: String,
+      liTable: String = "graft_silver_lineitem_b",
+      ordTable: String = "graft_silver_orders_b"): DataFrame =
+    martFrom(spark, sfDir, spark.table(liTable), spark.table(ordTable))
+
+  private def martFrom(spark: SparkSession, sfDir: String,
+      li: DataFrame, ord: DataFrame): DataFrame = {
     val prt = Tables.part(spark, sfDir)
       .select("p_partkey", "p_type")
     val cst = Tables.customer(spark, sfDir)

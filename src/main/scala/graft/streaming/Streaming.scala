@@ -56,7 +56,15 @@ object Streaming {
     * on a re-run with the same checkpoint only new files replay.
     */
   def eventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The stream's schema is inferred ONCE from the files present at
+    // definition time, so a stream directory must be
+    // generation-homogeneous: all files int64-nanos `ts` or all
+    // TIMESTAMP_NTZ micros. A checkpointed re-run over files of the
+    // OTHER physical encoding would fail at micro-batch read time
+    // against the fixed schema — mixed-generation corpora need one
+    // stream per generation (normalizeTs makes their outputs union-
+    // compatible).
+    graft.GraftSession.ensureNanosAsLong(spark)
     val schema = spark.read.parquet(eventsDir).schema
     graft.Tables.normalizeTs(
       spark.readStream

@@ -31,10 +31,9 @@ object RunCorpus {
   def main(args: Array[String]): Unit = {
     require(args.length == 2, "usage: RunCorpus <docsDir> <outRoot>")
     val Array(docsDir, outRoot) = args
-    val spark = SparkSession.builder()
+    val spark = graft.GraftSession.configure(SparkSession.builder()
       .appName("graft-corpus-pipeline")
-      .config("spark.master", sys.props.getOrElse("spark.master", "local[*]"))
-      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.master", sys.props.getOrElse("spark.master", "local[*]")))
       .getOrCreate()
     try {
       Sinks.parquet(Dedup.survivors(spark, docsDir), s"$outRoot/survivors")

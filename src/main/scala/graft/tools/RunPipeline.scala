@@ -28,11 +28,10 @@ import graft.sources.{IngestJob, OlistVendas, Sinks}
   */
 object RunPipeline {
   private def withSpark(body: SparkSession => Unit): Unit = {
-    val spark = SparkSession.builder()
+    val spark = graft.GraftSession.configure(SparkSession.builder()
       .appName("graft-olist-pipeline")
       // spark-submit provides spark.master; default for direct runs.
-      .config("spark.master", sys.props.getOrElse("spark.master", "local[*]"))
-      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.master", sys.props.getOrElse("spark.master", "local[*]")))
       .getOrCreate()
     try body(spark) finally spark.stop()
   }

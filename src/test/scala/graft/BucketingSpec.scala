@@ -68,4 +68,46 @@ class BucketingSpec extends SparkSpec {
     assert(shufflesBelowJoin.isEmpty,
       s"expected shuffle-free co-bucketed join, got:\n${join.get}")
   }
+
+  test("bucketed silver layout makes the vendas mart's fact join exchange-free") {
+    // The mart-level version of the co-bucketed join above: write the
+    // two fact tables through VendasMart.bucketedSilver, rebuild the
+    // mart from them, and assert the l_orderkey=o_orderkey join subtree
+    // contains no exchange. Broadcast is disabled so the join plans the
+    // way it does past the thresholds at scale (SMJ) — AQE off for a
+    // directly inspectable plan; both restored after.
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val savedBc = spark.conf.get(bcKey)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set(bcKey, "-1")
+    try {
+      val sfDir = "/root/testdata/sf0.001"
+      operators.VendasMart.bucketedSilver(spark, sfDir, 4,
+        "t_li_b", "t_ord_b")
+      val bucketed = operators.VendasMart.martBucketed(spark, sfDir,
+        "t_li_b", "t_ord_b")
+
+      // Correctness first: identical rows to the plain mart.
+      val plain = operators.VendasMart.mart(spark, sfDir)
+      assert(bucketed.collect().map(_.toSeq).toSet ==
+        plain.collect().map(_.toSeq).toSet)
+
+      // The fact-fact join (the one bucketing targets) must have no
+      // exchange below it; the dimension joins above it are untouched.
+      val plan = bucketed.queryExecution.executedPlan
+      val factJoin = plan.collect {
+        case j if j.nodeName.contains("SortMergeJoin") &&
+          j.toString.contains("l_orderkey") && j.toString.contains("o_orderkey") => j
+      }.lastOption // deepest such node = the li⟕ord join itself
+      assert(factJoin.isDefined, s"no li-ord SMJ in:\n$plan")
+      val shuffles = factJoin.get.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty,
+        s"expected exchange-free bucketed fact join, got:\n${factJoin.get}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set(bcKey, savedBc)
+      spark.sql("DROP TABLE IF EXISTS t_li_b")
+      spark.sql("DROP TABLE IF EXISTS t_ord_b")
+    }
+  }
 }

@@ -466,31 +466,27 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
-  test("approx stats self-audit: HLL within 3x rsd, GK median within rank tolerance") {
-    // The one rows-only query gains a quantitative bound: the sketch
-    // columns must sit inside their published error envelopes against
-    // the exact twins the query already carries.
+  test("approx stats self-audit: verdict booleans true, exact twins recount") {
+    // r10: the query no longer emits raw sketch values (they are
+    // engine-specific and would break the hash differential); it emits
+    // deterministic exact twins plus boolean verdicts computed in-plan
+    // (HLL within 2x its 2% rsd of the exact distinct; GK median
+    // inside the exact [p0.495, p0.505] value band). The spec asserts
+    // every verdict holds and independently recounts the exact twins.
     val rows = Analytics.approxStats(spark, sf).collect()
     assert(rows.nonEmpty)
     val li = Tables.lineitem(spark, sf)
     rows.foreach { r =>
       val flag = r.getAs[String]("l_returnflag")
-      val exact = r.getAs[Long]("exact_orders").toDouble
-      val approx = r.getAs[Long]("approx_orders").toDouble
-      // approx_count_distinct(rsd = 0.02): 3 standard deviations.
-      assert(math.abs(approx - exact) / exact <= 3 * 0.02,
-        s"$flag: HLL $approx vs exact $exact breaches 3x rsd")
-      // percentile_approx(0.5, accuracy=1000) guarantees rank error
-      // <= 1/1000; duplicates make the <=/< counts an interval, so
-      // assert the median's rank interval intersects [0.5 +- eps].
-      val med = r.getAs[Number]("approx_median").doubleValue()
+      assert(r.getAs[Boolean]("distinct_ok"), s"$flag: HLL breached 2x rsd")
+      assert(r.getAs[Boolean]("median_ok"), s"$flag: GK median outside band")
+      val lo = r.getAs[Double]("median_lo")
+      val hi = r.getAs[Double]("median_hi")
+      assert(lo <= hi, s"$flag: degenerate band [$lo, $hi]")
       val g = li.filter(col("l_returnflag") === flag)
-      val n = g.count().toDouble
-      val below = g.filter(col("l_extendedprice") < med).count().toDouble
-      val atOrBelow = g.filter(col("l_extendedprice") <= med).count().toDouble
-      val eps = 1.0 / 1000 + 1 / n // rank slack + integer-rank rounding
-      assert(below / n <= 0.5 + eps && atOrBelow / n >= 0.5 - eps,
-        s"$flag: median $med rank interval [${below / n}, ${atOrBelow / n}] misses 0.5±$eps")
+      assert(r.getAs[Long]("n_rows") == g.count(), s"$flag: n_rows")
+      val exact = g.select(countDistinct(col("l_orderkey"))).head().getLong(0)
+      assert(r.getAs[Long]("exact_orders") == exact, s"$flag: exact_orders")
     }
   }
 

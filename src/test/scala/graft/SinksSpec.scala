@@ -131,6 +131,19 @@ class SinksSpec extends SparkSpec {
     Seq("CATEGORIA_PRODUTO", "SEGMENTO_CLIENTE").foreach { c =>
       assert(m(c) == "LONGTEXT", c)
     }
+    // Beyond the per-type pins above (which mirror JdbcUtils),
+    // generate the actual CREATE TABLE column list through Spark's own
+    // JdbcUtils.schemaString — the exact string a
+    // `df.write.jdbc("jdbc:mysql://...", "TB_VENDAS")` would execute —
+    // and assert every column lands with its pinned MySQL type and the
+    // dialect's backtick quoting.
+    import org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+    val createCols = JdbcUtils.schemaString(dialect, schema, true, None)
+    schema.fields.foreach { f =>
+      assert(createCols.contains(s"`${f.name}` ${m(f.name)}"),
+        s"${f.name}: expected `${f.name}` ${m(f.name)} in $createCols")
+    }
+    assert(createCols.split(",").length == schema.fields.length, createCols)
   }
 
   test("partition-key predicates prune at the scan (PartitionFilters)") {

@@ -11,16 +11,15 @@ object SparkSpec {
     // Keep catalog/metastore artifacts under target/ (static configs —
     // must be set before the session exists).
     System.setProperty("derby.system.home", "target/derby")
-    SparkSession.builder()
+    GraftSession.configure(SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "target/spark-warehouse")
       // Pinned ON (see Verify.scala): Dedup.lshVerified relies on AQE
       // runtime stats for its hint-free participants broadcast.
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
   }
 }
