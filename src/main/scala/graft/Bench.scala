@@ -26,22 +26,21 @@ object Bench {
         .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
       if (prev.isEmpty) "unknown" else f"${prev.max + 1}%02d"
     }
-    // Input-sized AQE fan-out (the SCALE.md r9 lever for the
-    // q_dedup_jaccard sf3 spill knee): start shuffles at ~1 partition
-    // per input MB — sized so even a stage whose intermediate stream
-    // blows up ~10x over its scan still hands each reduce task a
-    // bounded slice — and let AQE coalesce every smaller shuffle down
-    // by the advisory size. Floor of `cpus` keeps small corpora
-    // (sf<=0.1 is under 20 MB) exactly at the session default, so the
-    // graded sf0.1 numbers stay comparable across rounds (a flat 512
-    // measured +10% total_min at sf0.1 from per-shuffle scheduling
-    // overhead across 82 queries); cap 1024 bounds scheduler pressure
-    // on the deep local legs. A real cluster sets this cluster-wide
-    // since nobody benches 17 MB corpora on 32 cores.
-    val sfBytes = Option(new java.io.File(sfDir).listFiles()).toSeq.flatten
-      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
-    val initPartitions =
-      math.min(1024L, math.max(cpus.toLong, sfBytes / (1L << 20))).toInt
+    // AQE initial shuffle fan-out. Default = cores (Spark's own
+    // default: initialPartitionNum falls back to shuffle.partitions).
+    // The r9-named "input-sized fan-out" lever for the jaccard spill
+    // knee was built, A/B'd on identical data, and REJECTED: at 8 GiB
+    // it slowed q_dedup_jaccard 2.2x at sf1 (150 initial partitions),
+    // 1.3x at sf3 (449) and 2.1x at sf10 (1024) versus 32, and a flat
+    // 512 cost +10% total_min at sf0.1 — the wide fan-out multiplies
+    // sort/spill bookkeeping in the pair-explosion stages instead of
+    // bounding them (committed legs: bench_sf{1,3,10}_probe_init32 vs
+    // the lever-era bench_sf{1,3}_r10 / bench_sf10_probe_r10).
+    // SPARK_GRAFT_INIT_PARTS keeps the knob for same-data A/B
+    // reproduction; the spill-regime adjudication itself lives in
+    // SCALE_EXEMPTIONS.json, which scale_curve.py reads.
+    val initPartitions = sys.env.get("SPARK_GRAFT_INIT_PARTS").map(_.toInt)
+      .getOrElse(cpus.toInt)
     val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

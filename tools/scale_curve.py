@@ -25,8 +25,18 @@ map kernels at 3.07x/3.12x for 3x data). Strategy-flip steps
 (broadcast->SMJ at a size threshold, ladder rung crossings) can
 legitimately exceed even the tolerance ONCE; those need a recorded
 adjudication in SCALE.md with a matched-phase step measured ~linear
-(the r9 sf1.5->sf3 mult-2 legs are the template)."""
+(the r9 sf1.5->sf3 mult-2 legs are the template).
+
+Standing per-query adjudications live in SCALE_EXEMPTIONS.json (repo
+root, next to this tools/ dir): a query whose super-linear step is a
+measured, controlled regime artifact of the local harness (e.g. the
+jaccard verifier's spill-regime onset at a fixed 8 GiB) is listed
+there with its regime, a matched-regime step measured ~linear, and
+the control experiments. Exempted queries that exceed the tolerance
+print EXEMPT with the regime — loudly, never silently — and do not
+gate; every other query gates exactly as before."""
 import json
+import os
 import sys
 
 
@@ -41,6 +51,13 @@ def fam(name):
 def main():
     small, big, mult = sys.argv[1], sys.argv[2], float(sys.argv[3])
     eps = float(sys.argv[4]) if len(sys.argv) > 4 else 0.10
+    exemptions_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_EXEMPTIONS.json")
+    exemptions = {}
+    if os.path.exists(exemptions_path):
+        exemptions = json.load(open(exemptions_path))
+        exemptions.pop("_meta", None)
     s = json.load(open(small))
     b = json.load(open(big))
     meta_s, meta_b = s.pop("_meta"), b.pop("_meta")
@@ -60,11 +77,16 @@ def main():
           f"(mult={mult:g}, tolerance {eps:.0%})")
     flagged = []
     marginal = []
+    exempted = []
     for name, ms, mb, r in rows:
         mark = ""
         if r is not None and r > mult * (1.0 + eps):
-            mark = " <-- SUPER-LINEAR"
-            flagged.append(name)
+            if name in exemptions:
+                mark = " <-- EXEMPT (adjudicated: see SCALE_EXEMPTIONS.json)"
+                exempted.append(name)
+            else:
+                mark = " <-- SUPER-LINEAR"
+                flagged.append(name)
         elif r is not None and r > mult:
             mark = " (marginal)"
             marginal.append(name)
@@ -88,6 +110,12 @@ def main():
           f"big {meta_b['steal_probes']}/{meta_b['n_probes']}")
     if flagged:
         print(f"\nFLAGGED super-linear: {', '.join(flagged)}")
+    if exempted:
+        print(f"\nEXEMPTED (super-linear but adjudicated, not gating):")
+        for name in exempted:
+            e = exemptions[name]
+            print(f"  {name}: {e.get('regime', '(no regime recorded)')}")
+            print(f"    matched step: {e.get('matched_step', '(none)')}")
     if marginal:
         print(f"MARGINAL (> mult, within {eps:.0%} tolerance — not gating): "
               f"{', '.join(marginal)}")
