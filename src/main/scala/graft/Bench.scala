@@ -248,7 +248,10 @@ object Bench {
       ",\n", "\n}\n")
     val sideBytes = side.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     java.nio.file.Files.write(java.nio.file.Paths.get(sidePath), sideBytes)
-    if (roundTag != "unknown") {
+    // Skip re-stamping a side path that already carries the round tag
+    // (an explicitly round-named probe file would otherwise double up
+    // as *_r10_r10.json).
+    if (roundTag != "unknown" && !sidePath.endsWith(s"_r$roundTag.json")) {
       val stamped = sidePath.replaceAll("\\.json$", "") + s"_r$roundTag.json"
       java.nio.file.Files.write(java.nio.file.Paths.get(stamped), sideBytes)
     }
