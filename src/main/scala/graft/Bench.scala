@@ -35,7 +35,8 @@ object Bench {
     // 512 cost +10% total_min at sf0.1 — the wide fan-out multiplies
     // sort/spill bookkeeping in the pair-explosion stages instead of
     // bounding them (committed legs: bench_sf{1,3,10}_probe_init32 vs
-    // the lever-era bench_sf{1,3}_r10 / bench_sf10_probe_r10).
+    // the lever-era bench_sf1_fanout150_r10 / bench_sf3_fanout449_r10
+    // / bench_sf10_probe_r10).
     // SPARK_GRAFT_INIT_PARTS keeps the knob for same-data A/B
     // reproduction; the spill-regime adjudication itself lives in
     // SCALE_EXEMPTIONS.json, which scale_curve.py reads.
