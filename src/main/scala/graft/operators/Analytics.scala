@@ -243,13 +243,16 @@ object Analytics {
     * differential: a broken sketch flips a verdict to `false` and the
     * hash comparison fails.
     *
-    * Plan note: the exact twins deliberately run as their OWN
-    * aggregations, broadcast-joined back on the 3-row group key.
+    * Plan note: the exact-DISTINCT twin deliberately runs as its OWN
+    * aggregation, broadcast-joined back on the 3-row group key.
     * Mixing a DISTINCT aggregate with object aggregates
     * (percentile/HLL) in one `agg` makes Spark plan an Expand over
     * every row plus a sort-based object-agg fallback — measured 21 s
     * vs 2 s for the split form at sf0.1, and the Expand doubles
-    * shuffle volume at any scale.
+    * shuffle volume at any scale. The exact percentile BAND, by
+    * contrast, is a plain (non-DISTINCT) object aggregate, so it
+    * fuses into the sketch aggregation without an Expand — two scans
+    * of lineitem total, not three.
     */
   def approxStats(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
@@ -258,16 +261,13 @@ object Analytics {
       .agg(
         count(lit(1)).as("n_rows"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
+        expr("percentile(l_extendedprice, array(0.495D, 0.505D))").as("band"))
     val exactDistinct = li
       .groupBy("l_returnflag")
       .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
-    val exactBand = li
-      .groupBy("l_returnflag")
-      .agg(expr("percentile(l_extendedprice, array(0.495D, 0.505D))").as("band"))
     sketches
       .join(broadcast(exactDistinct), Seq("l_returnflag"))
-      .join(broadcast(exactBand), Seq("l_returnflag"))
       .select(
         col("l_returnflag"), col("n_rows"), col("exact_orders"),
         round(element_at(col("band"), 1), 4).as("median_lo"),
