@@ -97,21 +97,33 @@ object Bench {
     // IO, not a plan change (the r9 driver-vs-judge 25.8 s vs 11.6 s
     // discrepancy: driver ran ~30 min after the harness regenerated
     // /root/testdata; judge re-ran against a warm cache).
+    // The probe is evidence, never a gate: a *.parquet entry can be a
+    // DIRECTORY (Spark-written datasets are part-file dirs), so recurse
+    // to regular files, and any IO surprise records a failed probe
+    // (-1 s) instead of aborting the bench before a single query runs.
     def sweepReadS(): (Double, Long) = {
-      val dir = new java.io.File(sfDir)
-      val files = Option(dir.listFiles()).toSeq.flatten
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      val buf = new Array[Byte](1 << 20)
-      var bytes = 0L
-      val t0 = System.nanoTime()
-      files.foreach { f =>
-        val in = new java.io.FileInputStream(f)
-        try {
-          var n = in.read(buf)
-          while (n >= 0) { bytes += n; n = in.read(buf) }
-        } finally in.close()
+      def regularFiles(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(regularFiles)
+        else if (f.isFile) Seq(f) else Nil
+      try {
+        val files = Option(new java.io.File(sfDir).listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .flatMap(regularFiles)
+        val buf = new Array[Byte](1 << 20)
+        var bytes = 0L
+        val t0 = System.nanoTime()
+        files.foreach { f =>
+          val in = new java.io.FileInputStream(f)
+          try {
+            var n = in.read(buf)
+            while (n >= 0) { bytes += n; n = in.read(buf) }
+          } finally in.close()
+        }
+        ((System.nanoTime() - t0) / 1e9, bytes)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] page-cache probe FAILED (recorded -1): $e")
+        (-1.0, 0L)
       }
-      ((System.nanoTime() - t0) / 1e9, bytes)
     }
     val (cacheColdS, cacheBytes) = sweepReadS()
     val (cacheWarmS, _) = sweepReadS()

@@ -235,7 +235,9 @@ object Analytics {
     * outputs are engine-specific, so they are NOT emitted; instead
     * the query emits the exact twins plus deterministic BOOLEAN
     * verdicts that the sketches landed inside their error bounds —
-    * `distinct_ok` (HLL within 2× the configured 2% rsd) and
+    * `distinct_ok` (HLL within the conventional 3× the configured 2%
+    * rsd — HLL error is ~normal, so a 2-sigma bound would flip on ~5%
+    * of (dataset, group) cells with no real bug) and
     * `median_ok` (GK median inside the exact [p0.495, p0.505] value
     * band, 5× the 1/accuracy=0.001 rank guarantee). The DuckDB oracle
     * computes the same exact columns and asserts the verdicts as
@@ -243,16 +245,25 @@ object Analytics {
     * differential: a broken sketch flips a verdict to `false` and the
     * hash comparison fails.
     *
-    * Plan note: the exact-DISTINCT twin deliberately runs as its OWN
-    * aggregation, broadcast-joined back on the 3-row group key.
-    * Mixing a DISTINCT aggregate with object aggregates
-    * (percentile/HLL) in one `agg` makes Spark plan an Expand over
-    * every row plus a sort-based object-agg fallback — measured 21 s
-    * vs 2 s for the split form at sf0.1, and the Expand doubles
-    * shuffle volume at any scale. The exact percentile BAND, by
-    * contrast, is a plain (non-DISTINCT) object aggregate, so it
-    * fuses into the sketch aggregation without an Expand — two scans
-    * of lineitem total, not three.
+    * Plan note (r11 shape — three PRUNED scans, every exact aggregate
+    * fed pre-reduced input). Mixing a DISTINCT aggregate with object
+    * aggregates (percentile/HLL) in one `agg` makes Spark plan an
+    * Expand over every row plus a sort-based object-agg fallback —
+    * measured 21 s vs 2 s for the split form at sf0.1 — so the legs
+    * stay separate and broadcast-join back on the 3-row group key:
+    *  1. raw (flag, price): row count + GK median — both streaming,
+    *     bounded state, codegen'd partials.
+    *  2. distinct (flag, orderkey): BOTH the exact distinct count and
+    *     the HLL run over the reduced set — HLL is duplicate-
+    *     insensitive (re-inserting an identical hash leaves the sketch
+    *     unchanged), so this is the identical sketch with a shuffle of
+    *     one row per key instead of one per lineitem row.
+    *  3. (flag, price) → cnt, then the exact band as a FREQUENCY-
+    *     WEIGHTED `percentile(price, array(...), cnt)`: the r10 fused
+    *     form made the object-agg ingest every raw row; pre-reducing
+    *     in a codegen'd hash aggregate means the Percentile map sees
+    *     only distinct values, identical result by definition of a
+    *     weighted percentile over the expanded multiset.
     */
   def approxStats(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
@@ -260,20 +271,27 @@ object Analytics {
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n_rows"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
-        expr("percentile(l_extendedprice, array(0.495D, 0.505D))").as("band"))
-    val exactDistinct = li
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+    val orders = li
+      .select(col("l_returnflag"), col("l_orderkey")).distinct()
       .groupBy("l_returnflag")
-      .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      .agg(
+        count(lit(1)).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+    val band = li
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.495D, 0.505D), cnt)").as("band"))
     sketches
-      .join(broadcast(exactDistinct), Seq("l_returnflag"))
+      .join(broadcast(orders), Seq("l_returnflag"))
+      .join(broadcast(band), Seq("l_returnflag"))
       .select(
         col("l_returnflag"), col("n_rows"), col("exact_orders"),
         round(element_at(col("band"), 1), 4).as("median_lo"),
         round(element_at(col("band"), 2), 4).as("median_hi"),
         (abs(col("approx_orders") - col("exact_orders")) <=
-          col("exact_orders") * lit(0.04)).as("distinct_ok"),
+          col("exact_orders") * lit(0.06)).as("distinct_ok"),
         (col("approx_median") >= element_at(col("band"), 1) &&
           col("approx_median") <= element_at(col("band"), 2)).as("median_ok"))
       .orderBy("l_returnflag")

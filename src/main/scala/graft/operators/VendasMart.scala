@@ -68,6 +68,19 @@ object VendasMart {
     * reuses. At 100 TB this is the difference between re-shuffling two
     * fact tables per mart build and never shuffling them again.
     *
+    * The writer repartitions onto the bucket column FIRST (same
+    * murmur3-pmod hash as the bucket id), so every bucket lands in
+    * exactly ONE file: Spark only trusts (and reuses) the `sortBy`
+    * ordering when a bucket is a single file — multiple part-files per
+    * bucket would keep a SortExec under the downstream SMJ even though
+    * the exchange is gone. Sort elision additionally requires
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true`
+    * (SPARK-28113 made ordering propagation opt-in in Spark 3.0);
+    * without the flag the join is exchange-free but re-sorts each
+    * bucket locally — a streaming pass over already-sorted data.
+    * BucketingSpec pins both regimes: no exchange always, and no sort
+    * with the flag set.
+    *
     * Bucket metadata lives in the session catalog (`saveAsTable` —
     * path-only parquet has nowhere to record it), so the tables land
     * in the warehouse under the given names.
@@ -77,10 +90,12 @@ object VendasMart {
       ordTable: String = "graft_silver_orders_b"): Unit = {
     Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice", "l_discount")
+      .repartition(nBuckets, col("l_orderkey"))
       .write.bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").format("parquet").saveAsTable(liTable)
     Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_custkey", "o_orderdate")
+      .repartition(nBuckets, col("o_orderkey"))
       .write.bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").format("parquet").saveAsTable(ordTable)
   }

@@ -77,9 +77,16 @@ class BucketingSpec extends SparkSpec {
     // way it does past the thresholds at scale (SMJ) — AQE off for a
     // directly inspectable plan; both restored after.
     val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val ordKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
     val savedBc = spark.conf.get(bcKey)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set(bcKey, "-1")
+    // Ordering propagation from bucketed scans is opt-in since Spark
+    // 3.0 (SPARK-28113): without it the planner re-sorts each bucket
+    // locally even though bucketedSilver writes one sorted file per
+    // bucket. The elision needs BOTH this flag and the single-file
+    // layout (the repartition in bucketedSilver).
+    spark.conf.set(ordKey, "true")
     try {
       val sfDir = "/root/testdata/sf0.001"
       operators.VendasMart.bucketedSilver(spark, sfDir, 4,
@@ -103,9 +110,21 @@ class BucketingSpec extends SparkSpec {
       val shuffles = factJoin.get.collect { case s: ShuffleExchangeExec => s }
       assert(shuffles.isEmpty,
         s"expected exchange-free bucketed fact join, got:\n${factJoin.get}")
+      // And SORT-free: bucketedSilver repartitions onto the bucket
+      // column before the write, so each bucket is a single file and
+      // Spark reuses the sortBy ordering instead of re-sorting under
+      // the SMJ. (With multiple part-files per bucket this assertion
+      // fails — the scan's output ordering is only trusted for
+      // single-file buckets.)
+      val sorts = factJoin.get.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }
+      assert(sorts.isEmpty,
+        s"expected sort-free bucketed fact join (single file per bucket), got:\n${factJoin.get}")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.set(bcKey, savedBc)
+      spark.conf.unset(ordKey)
       spark.sql("DROP TABLE IF EXISTS t_li_b")
       spark.sql("DROP TABLE IF EXISTS t_ord_b")
     }

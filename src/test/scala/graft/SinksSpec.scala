@@ -143,7 +143,15 @@ class SinksSpec extends SparkSpec {
       assert(createCols.contains(s"`${f.name}` ${m(f.name)}"),
         s"${f.name}: expected `${f.name}` ${m(f.name)} in $createCols")
     }
-    assert(createCols.split(",").length == schema.fields.length, createCols)
+    // Count backtick-quoted column-name occurrences rather than
+    // splitting on commas — a future DECIMAL(p,s)/VARCHAR(n) column
+    // type would embed a comma and silently skew a comma-split count.
+    val colOccurrences = schema.fields.map { f =>
+      val needle = s"`${f.name}`"
+      createCols.sliding(needle.length).count(_ == needle)
+    }
+    assert(colOccurrences.forall(_ == 1) &&
+      colOccurrences.length == schema.fields.length, createCols)
   }
 
   test("partition-key predicates prune at the scan (PartitionFilters)") {

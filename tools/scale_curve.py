@@ -81,9 +81,18 @@ def main():
     for name, ms, mb, r in rows:
         mark = ""
         if r is not None and r > mult * (1.0 + eps):
-            if name in exemptions:
+            # An exemption is BOUNDED: it covers the adjudicated regime
+            # (ratios up to max_normalized_ratio x linear), not any
+            # future regression of any magnitude. A 10x-from-a-plan-bug
+            # step on an exempted query must still gate.
+            cap = exemptions.get(name, {}).get("max_normalized_ratio")
+            if name in exemptions and (cap is None or r / mult <= cap):
                 mark = " <-- EXEMPT (adjudicated: see SCALE_EXEMPTIONS.json)"
                 exempted.append(name)
+            elif name in exemptions:
+                mark = (f" <-- SUPER-LINEAR (normalized {r / mult:.2f}x exceeds"
+                        f" the exemption's bound {cap:g}x)")
+                flagged.append(name)
             else:
                 mark = " <-- SUPER-LINEAR"
                 flagged.append(name)
