@@ -46,6 +46,11 @@ with DAG(
         java_class="graft.tools.RunPipeline",
         application_args=[
             "gold", "s3a://silver", "s3a://gold",
+            # Opt-in bucketed silver re-layout (0 = off): set the
+            # `silver_buckets` Airflow Variable to bucket+sort the two
+            # order_id fact tables once per ingest, making every gold
+            # rebuild's fact join exchange-free (OlistVendas.bucketedSilver).
+            "--bucketed-silver={{ var.value.get('silver_buckets', '0') }}",
             "{{ var.value.mysql_jdbc_url }}", "TB_VENDAS",
         ],
         conf=S3A_CONF,

@@ -200,6 +200,19 @@ def main():
     spark_submit(jar, "STAGE OK gold", "gold", silver, gold, derby, "TB_VENDAS")
     check = spark_submit(jar, "STAGE OK check", "check", gold, derby, "TB_VENDAS")
 
+    # The opt-in bucketed-silver leg (the DAG's `silver_buckets`
+    # variable): same gold stage through the same entry point, fact
+    # sides re-laid-out bucketed+sorted on order_id first. The mirror
+    # row count must agree with the plain leg — the layout is a
+    # physical re-organization, never a semantic change.
+    gold_b = os.path.join(work, "gold_bucketed")
+    spark_submit(jar, "STAGE OK gold", "gold", silver, gold_b,
+                 "--bucketed-silver=4", derby, "TB_VENDAS")
+    check_b = spark_submit(jar, "STAGE OK check", "check", gold_b,
+                           derby, "TB_VENDAS")
+    assert stage_rows(check_b) == stage_rows(check), \
+        f"bucketed gold leg changed the row count: {check_b} vs {check}"
+
     # Grain parity, both implementations of the reference's vendas
     # dataflow, one script — orchestration and registry can't drift:
     #  (a) the orchestrated OlistVendas gold mart must sit on the

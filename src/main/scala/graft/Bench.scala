@@ -133,7 +133,18 @@ object Bench {
     val tIx0 = System.nanoTime()
     var prewarmPhases: Seq[(String, Double)] = Nil
     val prewarmOk =
-      try { prewarmPhases = operators.Dedup.prewarmTimed(spark, sfDir); true }
+      try {
+        prewarmPhases = operators.Dedup.prewarmTimed(spark, sfDir)
+        // The bucketed-silver layout is index_build work too: a one-time
+        // re-organization every mart build amortizes, exactly like the
+        // persisted dedup indexes — charging it here keeps
+        // q_vendas_mart_bucketed's three timed runs measuring the mart,
+        // not the layout write.
+        val tB0 = System.nanoTime()
+        operators.VendasMart.ensureBucketedSilver(spark, sfDir)
+        prewarmPhases :+= ("bucketed_silver" -> (System.nanoTime() - tB0) / 1e9)
+        true
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] prewarm FAILED, timings order-dependent: $e")
         false

@@ -346,10 +346,11 @@ object Dedup {
       shingleIndexOf(Tables.documents(spark, sfDir))
     }
 
-  /** Exact n-gram Jaccard ≥ 0.6 pairs via inverted-index self-join.
-    * The join key is the shingle, so a shingle occurring in f docs
-    * contributes f² candidate rows — fine as ground truth / LSH
-    * verifier, but the LSH pipeline below is the one that scales.
+  /** Exact n-gram Jaccard ≥ 0.6 pairs via a prefix-filtered
+    * (SSJoin/PPJoin-style) inverted-index join — see [[ngramJaccardOf]]
+    * for the candidate-generation math. Exact ground truth / LSH
+    * verifier; the LSH pipeline below is the sub-linear production
+    * path.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val sizes = Tables.documents(spark, sfDir)
@@ -357,31 +358,58 @@ object Dedup {
     ngramJaccardOf(shingleIndex(spark, sfDir), sizes, Some(MaxShingleDf))
   }
 
-  /** The inverted-index Jaccard join over an explicit (doc_id, g60)
-    * index and per-doc set sizes — factored so specs can drive crafted
+  /** The exact-Jaccard pair join over an explicit (doc_id, g60) index
+    * and per-doc set sizes — factored so specs can drive crafted
     * corpora and the uncapped form (`dfCap = None`) for recall parity.
+    *
+    * Candidate generation is PREFIX-FILTERED (the SSJoin/PPJoin
+    * principle; Bayardo et al. WWW'07, Xiao et al. WWW'08): under any
+    * total order on grams, two sets with overlap ≥ α must share a gram
+    * within their first |x| − α + 1 grams (pigeonhole: a set whose
+    * prefix misses every shared gram has only α − 1 slots left).
+    * J ≥ 0.6 forces α = ⌈0.6·k⌉ (overlap ≥ θ·|a∪b| ≥ θ·k for BOTH
+    * kept-set sizes k), so only each doc's first k − ⌈3k/5⌉ + 1 grams
+    * — ordered by (df ASC, g60), rarest first — enter the self-join.
+    * The f² postings blowup dies: a frequent gram sits at the END of
+    * every doc's ordering and never reaches a prefix, while the r10
+    * un-prefixed join paid f² rows for every gram under the cap
+    * (measured ~39 GB of spill at sf10; the prefix form is the
+    * provably-lossless fix, not a heuristic). Candidates are then
+    * verified exactly per pair via `array_intersect` over the full
+    * kept sets — O(|cand|·k̄), no quadratic term.
+    *
+    * The df window is unchanged from r10: singletons (df < 2) cannot
+    * pair, and grams above [[MaxShingleDf]] are dropped from `common`
+    * only (scores, not candidates, can change — the oracle SQL carries
+    * the identical predicate). ⌈0.6·k⌉ is computed as (3k+4) div 5 in
+    * INTEGER arithmetic on both engines — 0.6·k in doubles rounds
+    * differently (0.6·5 = 3.0000000000000004 ⟹ ceil 4) and would
+    * silently shorten prefixes.
     */
   private[graft] def ngramJaccardOf(
       ex: DataFrame, sizes: DataFrame, dfCap: Option[Int]): DataFrame = {
-    // Singleton-shingle prefilter: a shingle appearing in exactly one
-    // document can never contribute to an (a,b) pair, so drop it BEFORE
-    // the self-join. On a real corpus most shingles are singletons
-    // (Zipf), so this collapses the join input — and the per-pair
-    // `common` counts are unchanged because any shared shingle has
-    // df ≥ 2 by definition. The df aggregate and the semi-join both
-    // key on `s`, so the exchange is computed once and reused. The
-    // upper cap ([[MaxShingleDf]]) is the quadratic-occupancy bound —
-    // unlike the ≥2 filter it can change scores, so the oracle SQL
-    // carries the identical predicate.
     val dfFilter = dfCap.foldLeft(col("df") >= 2)((acc, cap) => acc && col("df") <= cap)
-    val shared = ex.groupBy("g60").agg(count(lit(1)).as("df"))
-      .filter(dfFilter).select("g60")
-    val exs = ex.join(shared, Seq("g60"), "left_semi")
-    val a = exs.select(col("doc_id").as("a_id"), col("g60"))
-    val b = exs.select(col("doc_id").as("b_id"), col("g60"))
-    val common = a.join(b, Seq("g60")).filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
-    common
+    val dfs = ex.groupBy("g60").agg(count(lit(1)).as("df")).filter(dfFilter)
+    // One groupBy(doc_id) builds the per-doc kept-gram array in global
+    // (df, g60) order; the prefix is a slice of it and the exact
+    // verify reads the same array — the index is shuffled once.
+    val docsets = ex.join(dfs, Seq("g60"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("g60")))).as("sg"))
+      .select(col("doc_id"), expr("transform(sg, x -> x.g60)").as("sh"),
+        size(col("sg")).as("k"))
+      .withColumn("plen", expr("CAST(k - ((3 * k + 4) DIV 5) + 1 AS INT)"))
+    val pref = docsets
+      .select(col("doc_id"), explode(expr("slice(sh, 1, plen)")).as("g60"))
+    val cand = pref.as("x").join(pref.as("y"),
+        col("x.g60") === col("y.g60") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    cand
+      .join(docsets.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
+      .join(docsets.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("common"))
       .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
       .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
       .withColumn("jaccard",
@@ -1048,18 +1076,35 @@ object Dedup {
       s"""WITH $shingleCte,
          |exh AS (SELECT doc_id, ${h60.format("s")} AS g60 FROM ex),
          |sizes AS (SELECT doc_id, count(*) AS n FROM exh GROUP BY doc_id),
-         |-- df cap mirrors Dedup.MaxShingleDf: `common` counts only
-         |-- grams with df <= cap; set sizes stay uncapped.
-         |kept AS (SELECT g60 FROM (SELECT g60, count(*) AS df FROM exh GROUP BY g60)
-         |         WHERE df <= $MaxShingleDf),
-         |exs AS (SELECT doc_id, g60 FROM exh WHERE g60 IN (SELECT g60 FROM kept)),
-         |pairs AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
-         |  FROM exs a JOIN exs b ON a.g60 = b.g60 AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
+         |-- df window [2, MaxShingleDf] mirrors Dedup: singletons can
+         |-- never pair; grams above the cap are dropped from `common`
+         |-- only — set sizes stay uncapped.
+         |dfs AS (SELECT g60, count(*) AS df FROM exh GROUP BY g60
+         |        HAVING count(*) >= 2 AND count(*) <= $MaxShingleDf),
+         |docsets AS (
+         |  SELECT e.doc_id, list(e.g60 ORDER BY d.df, e.g60) AS sh,
+         |         count(*) AS k
+         |  FROM exh e JOIN dfs d ON e.g60 = d.g60 GROUP BY e.doc_id),
+         |-- PPJoin prefix filter, mirroring ngramJaccardOf: overlap
+         |-- >= ceil(0.6*k) forces a shared gram inside each doc's first
+         |-- k - ceil(3k/5) + 1 grams under the shared (df, g60) order;
+         |-- integer ceil keeps both engines exact.
+         |pref AS (
+         |  SELECT doc_id,
+         |         unnest(list_slice(sh, 1, CAST(k - ((3*k + 4) // 5) + 1 AS INT))) AS g60
+         |  FROM docsets),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM pref a JOIN pref b ON a.g60 = b.g60 AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT a_id, b_id,
+         |         CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS common
+         |  FROM cand
+         |  JOIN docsets da ON a_id = da.doc_id
+         |  JOIN docsets db ON b_id = db.doc_id)
          |SELECT a_id, b_id,
          |       round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
-         |FROM pairs
+         |FROM j
          |JOIN sizes sa ON a_id = sa.doc_id
          |JOIN sizes sb ON b_id = sb.doc_id
          |WHERE common * 1.0 / (sa.n + sb.n - common) >= $JaccardThreshold

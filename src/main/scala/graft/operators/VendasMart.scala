@@ -109,6 +109,37 @@ object VendasMart {
       ordTable: String = "graft_silver_orders_b"): DataFrame =
     martFrom(spark, sfDir, spark.table(liTable), spark.table(ordTable))
 
+  /** Default bucket count for [[ensureBucketedSilver]]. 16 holds every
+    * local bench rung (sf10 lineitem ≈ 60 M rows → ~4 M rows/bucket);
+    * a real deployment sizes it to executors × target file size, the
+    * same knob as any warehouse bucketing DDL.
+    */
+  val SilverBuckets = 16
+
+  /** One-time per-(session, corpus) bucketed-silver build backing
+    * `q_vendas_mart_bucketed` — the [[graft.operators.Dedup]]
+    * index-memo contract applied to the layout: repeated invocations
+    * return the same catalog table names without re-writing. Table
+    * names carry a corpus tag so two scale dirs never collide in one
+    * warehouse; a concurrent double-build is benign (`overwrite`,
+    * idempotent). Stopped-session keys are swept like the Dedup
+    * caches.
+    */
+  private val silverCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+  def ensureBucketedSilver(spark: SparkSession, sfDir: String): (String, String) = {
+    silverCache.keySet.foreach { k =>
+      if (k._1.sparkContext.isStopped) silverCache.remove(k)
+    }
+    silverCache.getOrElseUpdate((spark, sfDir), {
+      val tag = sfDir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_|_$", "")
+      val li = s"graft_silver_lineitem_b_$tag"
+      val ord = s"graft_silver_orders_b_$tag"
+      bucketedSilver(spark, sfDir, SilverBuckets, li, ord)
+      (li, ord)
+    })
+  }
+
   private def martFrom(spark: SparkSession, sfDir: String,
       li: DataFrame, ord: DataFrame): DataFrame = {
     val prt = Tables.part(spark, sfDir)
@@ -162,6 +193,17 @@ object VendasMart {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vendas_mart" -> ((s, dir) => mart(s, dir)),
+    // The same mart over the bucketed silver layout — identical output
+    // by construction (BucketingSpec pins row parity and the
+    // exchange-free fact join); registering it makes the layout claim
+    // correctness-gated, not just spec-gated. The one-time bucketed
+    // write is memoized per (session, corpus) and charged to
+    // index_build by Bench's prewarm, the same contract as the Dedup
+    // index frames.
+    "q_vendas_mart_bucketed" -> ((s, dir) => {
+      val (li, ord) = ensureBucketedSilver(s, dir)
+      martBucketed(s, dir, li, ord)
+    }),
     "q_unpivot_events" -> (eventsUnpivot _),
     "q_pivot_events" -> ((s, dir) =>
       eventsPivot(s, dir)
@@ -175,12 +217,12 @@ object VendasMart {
     .map(t => s"sum(CASE WHEN event_type = '$t' THEN value END) AS $t")
     .mkString(", ")
 
-  val oracleSql: Map[String, String] = Map(
-    "q_unpivot_events" ->
-      """SELECT user_id, event_type, round(sum(value), 4) AS total
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "vendas_mart" ->
-      s"""WITH evp AS (SELECT user_id, $pivotCase FROM events GROUP BY user_id)
+  /** One oracle statement for BOTH mart registrations: the bucketed
+    * layout is a physical re-organization, so its oracle is the plain
+    * mart's SQL verbatim — identical output is the whole claim.
+    */
+  private val martOracle: String =
+    s"""WITH evp AS (SELECT user_id, $pivotCase FROM events GROUP BY user_id)
          |SELECT l.l_orderkey AS "PEDIDO",
          |       l.l_linenumber AS "ITEM",
          |       l.l_partkey AS "ID_PRODUTO",
@@ -201,7 +243,14 @@ object VendasMart {
          |LEFT JOIN part p ON l.l_partkey = p.p_partkey
          |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
          |LEFT JOIN evp e ON o.o_custkey = e.user_id
-         |ORDER BY 1, 2""".stripMargin,
+         |ORDER BY 1, 2""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_unpivot_events" ->
+      """SELECT user_id, event_type, round(sum(value), 4) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "vendas_mart" -> martOracle,
+    "q_vendas_mart_bucketed" -> martOracle,
     "q_pivot_events" ->
       s"""SELECT user_id,
          |${EventTypes.map(t => s"round(coalesce(sum(CASE WHEN event_type = '$t' THEN value END), 0), 4) AS sum_$t").mkString(",\n")}

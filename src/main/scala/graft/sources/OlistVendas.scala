@@ -38,13 +38,21 @@ object OlistVendas {
   def silver(spark: SparkSession, silverRoot: String, spec: TableSpec): DataFrame =
     spark.read.parquet(s"$silverRoot/${spec.prefix}")
 
-  def mart(spark: SparkSession, silverRoot: String): DataFrame = {
+  def mart(spark: SparkSession, silverRoot: String): DataFrame =
+    martOver(spark, silverRoot,
+      silver(spark, silverRoot, OlistCatalog.orderItems)
+        .select("order_id", "product_id", "price", "freight_value"),   // :77
+      silver(spark, silverRoot, OlistCatalog.orders)
+        .select("order_id", "customer_id", "order_purchase_timestamp")) // :65
+
+  /** The mart with explicit fact sides — shared by the plain path and
+    * the bucketed-silver path so the dataflow cannot drift between
+    * layouts.
+    */
+  private def martOver(spark: SparkSession, silverRoot: String,
+      items: DataFrame, orders: DataFrame): DataFrame = {
     val products = silver(spark, silverRoot, OlistCatalog.products)
       .select("product_category_name", "product_id")                  // :53
-    val orders = silver(spark, silverRoot, OlistCatalog.orders)
-      .select("order_id", "customer_id", "order_purchase_timestamp")  // :65
-    val items = silver(spark, silverRoot, OlistCatalog.orderItems)
-      .select("order_id", "product_id", "price", "freight_value")     // :77
     val payments = silver(spark, silverRoot, OlistCatalog.orderPayments)
       .select("order_id", "payment_type", "payment_value")            // :89
     val customers = silver(spark, silverRoot, OlistCatalog.customers)
@@ -57,6 +65,32 @@ object OlistVendas {
 
     // joins :107-111, fillna :114-120, transforms+rename :123-149
     martFrom(items, orders, products, customers, paymentsPivot)
+  }
+
+  /** Opt-in bucketed silver layout for the pipeline's two `order_id`
+    * fact sides (RunPipeline `--bucketed-silver=N`): re-writes
+    * order_items and orders bucketed+sorted on the join key, so every
+    * downstream gold build sort-merge-joins bucket-to-bucket with no
+    * exchange — the [[graft.operators.VendasMart.bucketedSilver]]
+    * layout applied to the production entry point. The repartition
+    * puts each bucket in one file (see the VendasMart scaladoc for the
+    * sort-elision contract). Returns the catalog table names.
+    */
+  def bucketedSilver(spark: SparkSession, silverRoot: String,
+      nBuckets: Int): (String, String) = {
+    val itemsT = "olist_silver_items_b"
+    val ordersT = "olist_silver_orders_b"
+    silver(spark, silverRoot, OlistCatalog.orderItems)
+      .select("order_id", "product_id", "price", "freight_value")
+      .repartition(nBuckets, col("order_id"))
+      .write.bucketBy(nBuckets, "order_id").sortBy("order_id")
+      .mode("overwrite").format("parquet").saveAsTable(itemsT)
+    silver(spark, silverRoot, OlistCatalog.orders)
+      .select("order_id", "customer_id", "order_purchase_timestamp")
+      .repartition(nBuckets, col("order_id"))
+      .write.bucketBy(nBuckets, "order_id").sortBy("order_id")
+      .mode("overwrite").format("parquet").saveAsTable(ordersT)
+    (itemsT, ordersT)
   }
 
   /** The mart projection shared by the batch and streaming variants:
@@ -134,10 +168,19 @@ object OlistVendas {
 
   /** Gold parquet sink + optional JDBC mirror — the reference's
     * `to_parquet`+upload (`:152-162`) and `to_sql(if_exists='replace')`
-    * (`:173-180`). */
+    * (`:173-180`). With `buckets` set, the fact sides are first
+    * re-laid-out through [[bucketedSilver]] (the one-time cost a real
+    * ingest pays) and the mart reads the bucketed tables.
+    */
   def run(spark: SparkSession, silverRoot: String, goldRoot: String,
-      jdbc: Option[Sinks.JdbcTarget] = None): Unit = {
-    val m = mart(spark, silverRoot)
+      jdbc: Option[Sinks.JdbcTarget] = None,
+      buckets: Option[Int] = None): Unit = {
+    val m = buckets match {
+      case Some(n) =>
+        val (itemsT, ordersT) = bucketedSilver(spark, silverRoot, n)
+        martOver(spark, silverRoot, spark.table(itemsT), spark.table(ordersT))
+      case None => mart(spark, silverRoot)
+    }
     m.write.mode("overwrite").parquet(s"$goldRoot/olist/vendas")
     jdbc.foreach(t => Sinks.jdbcReplace(m, t))
   }

@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
+import graft.operators
 import graft.sources.{IngestJob, OlistVendas, Sinks}
 
 /** CLI entry for the reference's pipeline, shaped like the Airflow
@@ -42,14 +43,28 @@ object RunPipeline {
         IngestJob.runAll(s, bronze, silver)
         println(s"STAGE OK ingest bronze=$bronze silver=$silver")
       }
-    case "gold" :: silver :: gold :: rest if rest.length == 0 || rest.length == 2 =>
+    case "gold" :: silver :: gold :: rest0 =>
+      // Opt-in bucketed silver re-layout: `--bucketed-silver[=N]`
+      // anywhere after the roots (N=0 disables, so an orchestration
+      // template can pass the flag unconditionally and toggle via a
+      // variable). Remaining positionals are the optional JDBC target.
+      val (flags, rest) = rest0.partition(_.startsWith("--bucketed-silver"))
+      val buckets = flags.lastOption.flatMap { f =>
+        val n = f.split('=').lift(1).map(_.toInt)
+          .getOrElse(operators.VendasMart.SilverBuckets)
+        if (n > 0) Some(n) else None
+      }
+      if (rest.length != 0 && rest.length != 2) { usage(); sys.exit(2) }
       withSpark { s =>
         val jdbc = rest match {
           case url :: table :: Nil => Some(Sinks.JdbcTarget(url, table, "", ""))
           case _ => None
         }
-        OlistVendas.run(s, silver, gold, jdbc)
-        println(s"STAGE OK gold silver=$silver gold=$gold jdbc=${jdbc.map(_.table)}")
+        val t0 = System.nanoTime()
+        OlistVendas.run(s, silver, gold, jdbc, buckets)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"STAGE OK gold silver=$silver gold=$gold " +
+          f"jdbc=${jdbc.map(_.table)} buckets=${buckets.getOrElse(0)} secs=$secs%.2f")
       }
     case "check" :: gold :: url :: table :: Nil =>
       withSpark { s =>
@@ -62,6 +77,37 @@ object RunPipeline {
           s"gold parquet ($nGold rows) and JDBC mirror ($nJdbc rows) disagree")
         println(s"STAGE OK check rows=$nGold table=$table")
       }
+    case "mart" :: sfDir :: gold :: rest0 =>
+      // Registry-side (harness star schema) gold build through the
+      // production entry point, for end-to-end layout A/Bs at real
+      // scale: with `--bucketed-silver[=N]` the fact sides are
+      // re-laid-out first (timed separately — that cost amortizes over
+      // every downstream build) and the mart reads the bucketed
+      // catalog tables.
+      val (flags, rest) = rest0.partition(_.startsWith("--bucketed-silver"))
+      if (rest.nonEmpty) { usage(); sys.exit(2) }
+      val buckets = flags.lastOption.flatMap { f =>
+        val n = f.split('=').lift(1).map(_.toInt)
+          .getOrElse(operators.VendasMart.SilverBuckets)
+        if (n > 0) Some(n) else None
+      }
+      withSpark { s =>
+        val tR0 = System.nanoTime()
+        val mart = buckets match {
+          case Some(_) =>
+            val (li, ord) = operators.VendasMart.ensureBucketedSilver(s, sfDir)
+            operators.VendasMart.martBucketed(s, sfDir, li, ord)
+          case None => operators.VendasMart.mart(s, sfDir)
+        }
+        val relayout = (System.nanoTime() - tR0) / 1e9
+        val t0 = System.nanoTime()
+        mart.write.mode("overwrite").parquet(s"$gold/vendas_mart")
+        val secs = (System.nanoTime() - t0) / 1e9
+        val n = s.read.parquet(s"$gold/vendas_mart").count()
+        println(f"STAGE OK mart rows=$n sf=$sfDir " +
+          f"buckets=${buckets.getOrElse(0)} relayout_s=$relayout%.2f secs=$secs%.2f")
+      }
+
     case "grain" :: sfDir :: Nil =>
       // CI parity probe: the registry's vendas_mart (the oracle-gated
       // dataflow, VendasMart.mart) must preserve the item grain — its
@@ -82,12 +128,16 @@ object RunPipeline {
         println(s"PIPELINE OK bronze=$bronze silver=$silver gold=$gold")
       }
     case _ =>
-      System.err.println(
-        """usage: RunPipeline ingest <bronzeRoot> <silverRoot>
-          |       RunPipeline gold <silverRoot> <goldRoot> [jdbcUrl table]
-          |       RunPipeline check <goldRoot> <jdbcUrl> <table>
-          |       RunPipeline grain <sfDir>
-          |       RunPipeline <bronzeRoot> <silverRoot> <goldRoot>""".stripMargin)
+      usage()
       sys.exit(2)
   }
+
+  private def usage(): Unit =
+    System.err.println(
+      """usage: RunPipeline ingest <bronzeRoot> <silverRoot>
+        |       RunPipeline gold <silverRoot> <goldRoot> [--bucketed-silver[=N]] [jdbcUrl table]
+        |       RunPipeline mart <sfDir> <goldRoot> [--bucketed-silver[=N]]
+        |       RunPipeline check <goldRoot> <jdbcUrl> <table>
+        |       RunPipeline grain <sfDir>
+        |       RunPipeline <bronzeRoot> <silverRoot> <goldRoot>""".stripMargin)
 }
