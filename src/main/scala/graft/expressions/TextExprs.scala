@@ -31,14 +31,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * per pair), so interpreted dispatch is negligible; the hot pairwise
   * paths stay in codegen.
   */
-case class TextShingles(child: Expression, n: Int, distinct: Boolean = true)
+case class TextShingles(child: Expression, n: Int, distinct: Boolean = true,
+    hashed: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   require(n >= 1, s"shingle size must be >= 1, got $n")
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // `hashed = true` emits `hash60(gram)` longs instead of gram text —
+  // equivalent to `transform(graft_shingles(text, n), hash60)` but
+  // the md5 runs on the digest bytes directly inside this same pass
+  // ([[HashKernel.hash60]]), skipping the hex-string materialization,
+  // `substring` and base-16 `conv` parse the Column form pays per
+  // gram. Consumers that immediately hash every gram (the dedup
+  // shingle index, 5-gram decontamination) explode 16 B longs off the
+  // scan instead of gram strings.
+  override def dataType: DataType =
+    if (hashed) ArrayType(LongType, containsNull = false)
+    else ArrayType(StringType, containsNull = false)
 
-  override def prettyName: String = "graft_shingles"
+  override def prettyName: String = if (hashed) "graft_shingles_h60" else "graft_shingles"
 
   override protected def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
@@ -70,7 +81,10 @@ case class TextShingles(child: Expression, n: Int, distinct: Boolean = true)
         k += 1
       }
       val s = sb.toString
-      if (seen == null || seen.add(s)) out += UTF8String.fromString(s)
+      if (seen == null || seen.add(s)) {
+        out += (if (hashed) java.lang.Long.valueOf(HashKernel.hash60(s))
+                else UTF8String.fromString(s))
+      }
       j += 1
     }
     new GenericArrayData(out.toArray)

@@ -79,6 +79,16 @@ object TextFns {
   def shingleSet(text: Column, n: Int): Column =
     ColumnShim.column(TextShingles(ColumnShim.expression(text), n))
 
+  /** Distinct word n-gram shingle set ALREADY hash60'd — the same
+    * native pass as [[shingleSet]] with the md5 fused in ([[TextShingles]]
+    * `hashed`), equivalent to `transform(shingleSet(text, n), hash60)`.
+    * For consumers that hash every gram anyway (the dedup shingle
+    * index, 5-gram decontamination) this halves-or-better the per-gram
+    * cost: no hex string, no substring, no base-16 conv parse.
+    */
+  def shingleSetHashed(text: Column, n: Int): Column =
+    ColumnShim.column(TextShingles(ColumnShim.expression(text), n, hashed = true))
+
   /** NON-distinct word n-gram list (every occurrence, in order) —
     * the same native kernel with dedup off, equivalent to
     * `shingles(tokens(text), n)`. For frequency-sensitive consumers

@@ -282,8 +282,7 @@ object Dedup {
     * agree bit-for-bit even on a collision.
     */
   def shingleIndexOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingleSet(col("text"), 3)).as("s"))
-      .select(col("doc_id"), hash60(col("s")).as("g60"))
+    docs.select(col("doc_id"), explode(shingleSetHashed(col("text"), 3)).as("g60"))
 
   private val shingleIndexCache = newCache()
 
@@ -353,10 +352,34 @@ object Dedup {
     * path.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val sizes = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), size(shingleSet(col("text"), 3)).cast("long").as("n"))
-    ngramJaccardOf(shingleIndex(spark, sfDir), sizes, Some(MaxShingleDf))
+    // Per-doc set size straight off the index: the index holds one row
+    // per DISTINCT gram per doc (shingleSet semantics), so the count
+    // per doc_id IS |shingleSet(text, 3)| — no second text scan, no
+    // second shingle pass just for the Jaccard denominator.
+    val ex = shingleIndex(spark, sfDir)
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    jaccardFromRanked(jaccardPrefixIndex(spark, sfDir), sizes)
   }
+
+  private val prefixCache = newCache()
+
+  /** Memoized persisted PREFIX-VERIFY index: the df-filtered postings
+    * ranked per doc in the global (df ASC, g60) order, with the doc's
+    * kept-set size — [[rankedOf]] over the persisted shingle index.
+    * The verifier reads this frame THREE times (both sides of the
+    * prefix self-join, the participant gram arrays); un-persisted,
+    * Spark re-ran the ex⋈dfs join and the doc_id window per read
+    * (neither plain exchange reuse nor AQE dedups the subtree —
+    * measured 1.7 GB shuffle for a 0.6 GB index at sf1). Persisting is
+    * the same discipline as the signature/pair indexes above: at
+    * cluster scale this is the prefix table a daily dedup job keeps
+    * next to its shingle index. Charged to `index_build` by
+    * [[prewarmTimed]].
+    */
+  def jaccardPrefixIndex(spark: SparkSession, sfDir: String): DataFrame =
+    memoized(prefixCache, spark, sfDir) {
+      rankedOf(shingleIndex(spark, sfDir), Some(MaxShingleDf))
+    }
 
   /** The exact-Jaccard pair join over an explicit (doc_id, g60) index
     * and per-doc set sizes — factored so specs can drive crafted
@@ -387,27 +410,76 @@ object Dedup {
     * silently shorten prefixes.
     */
   private[graft] def ngramJaccardOf(
-      ex: DataFrame, sizes: DataFrame, dfCap: Option[Int]): DataFrame = {
+      ex: DataFrame, sizes: DataFrame, dfCap: Option[Int]): DataFrame =
+    jaccardFromRanked(rankedOf(ex, dfCap), sizes)
+
+  /** The ranked kept-postings frame `(doc_id, g60, rn, k)` feeding
+    * [[jaccardFromRanked]]: df-filtered postings ranked per doc in the
+    * global (df ASC, g60) order with the doc's kept-set size. Ranked
+    * via a WINDOW, not a per-doc array: the first r11 cut built a
+    * sorted gram ARRAY per doc (sort_array ∘ collect_list) and sliced
+    * it — the ObjectHashAggregate buffers and the array-laden verify
+    * shuffle spilled 7.8 GB at sf3. The window is the same one shuffle
+    * on doc_id but sorts flat 24 B rows (spill-graceful
+    * UnsafeExternalSorter, no per-group buffers), and g60 is unique
+    * within a doc so the (df, g60) order — hence the candidate set —
+    * is identical to the array form.
+    */
+  private[graft] def rankedOf(ex: DataFrame, dfCap: Option[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dfFilter = dfCap.foldLeft(col("df") >= 2)((acc, cap) => acc && col("df") <= cap)
     val dfs = ex.groupBy("g60").agg(count(lit(1)).as("df")).filter(dfFilter)
-    // One groupBy(doc_id) builds the per-doc kept-gram array in global
-    // (df, g60) order; the prefix is a slice of it and the exact
-    // verify reads the same array — the index is shuffled once.
-    val docsets = ex.join(dfs, Seq("g60"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("g60")))).as("sg"))
-      .select(col("doc_id"), expr("transform(sg, x -> x.g60)").as("sh"),
-        size(col("sg")).as("k"))
-      .withColumn("plen", expr("CAST(k - ((3 * k + 4) DIV 5) + 1 AS INT)"))
-    val pref = docsets
-      .select(col("doc_id"), explode(expr("slice(sh, 1, plen)")).as("g60"))
+    val byDoc = Window.partitionBy("doc_id")
+    ex.join(dfs, Seq("g60"))
+      .withColumn("rn", row_number().over(byDoc.orderBy(col("df"), col("g60"))))
+      .withColumn("k", count(lit(1)).over(byDoc))
+      .select(col("doc_id"), col("g60"), col("rn"), col("k"))
+  }
+
+  private[graft] def jaccardFromRanked(
+      ranked: DataFrame, sizes: DataFrame): DataFrame = {
+    val pref = ranked
+      .filter(col("rn") <= col("k") - expr("(3 * k + 4) DIV 5") + 1)
+      .select(col("doc_id"), col("g60"), col("k"))
+    // LENGTH FILTER (the PPJoin companion of the prefix): J ≥ 0.6
+    // forces common ≥ 0.6·max(ka, kb) and common ≤ min(ka, kb), so a
+    // surviving pair needs 3·max(ka, kb) ≤ 5·min(ka, kb) — pairs whose
+    // kept-set sizes differ by more than 5/3 are dropped INSIDE the
+    // join, before the candidate multiset exists. Integer arithmetic,
+    // provably lossless, mirrored in the oracle CTE.
     val cand = pref.as("x").join(pref.as("y"),
-        col("x.g60") === col("y.g60") && col("x.doc_id") < col("y.doc_id"))
+        col("x.g60") === col("y.g60") && col("x.doc_id") < col("y.doc_id") &&
+          greatest(col("x.k"), col("y.k")) * 3 <= least(col("x.k"), col("y.k")) * 5)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
+    // Exact verify reads full kept-gram arrays for PARTICIPANT docs
+    // only (docs on either side of a candidate pair) — the arrays the
+    // non-candidate majority of the corpus would contribute are never
+    // built or shuffled. Worst case (every doc a participant) this
+    // equals the unrestricted build; on a real corpus participants
+    // are the near-dup minority. Order inside `sh` is irrelevant —
+    // array_intersect counts, it doesn't align.
+    val parts = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    // Arrays come off `ranked`, not a second read of `kept`: the
+    // windowed frame is already exchanged on doc_id, so the semi-join
+    // and the collect_list groupBy reuse that partitioning with no new
+    // shuffle — sourcing from `kept` re-ran the ex⋈dfs join and paid
+    // its g60 exchange twice (measured +740 MB shuffle at sf1).
+    val docsets = ranked.select(col("doc_id"), col("g60"))
+      .join(parts, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id").agg(collect_list(col("g60")).as("sh"))
+    // SHUFFLE_HASH on both verify joins: the probe stream carries the
+    // gram arrays (~0.4 KB/row), and a sort-merge join would SORT that
+    // array-laden stream — measured as GBs of sort spill at sf3+. A
+    // shuffled hash join builds on the slim docsets side (the hint
+    // names it) and streams the heavy side unsorted; same exchanges,
+    // zero sort.
     cand
-      .join(docsets.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
-      .join(docsets.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
+      .join(docsets.select(col("doc_id").as("a_id"), col("sh").as("sha"))
+        .hint("SHUFFLE_HASH"), Seq("a_id"))
+      .join(docsets.select(col("doc_id").as("b_id"), col("sh").as("shb"))
+        .hint("SHUFFLE_HASH"), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         size(array_intersect(col("sha"), col("shb"))).cast("long").as("common"))
       .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
@@ -980,6 +1052,7 @@ object Dedup {
     }
     phase("fingerprints")(fingerprints(spark, sfDir).count())
     phase("shingle_index")(shingleIndex(spark, sfDir).count())
+    phase("jaccard_prefix")(jaccardPrefixIndex(spark, sfDir).count())
     phase("minhash_signatures")(minHashSignatures(spark, sfDir).count())
     phase("lsh_pairs")(minHashPairs(spark, sfDir).count())
     phase("clusters")(nearDupClusters(spark, sfDir).count())
@@ -1090,12 +1163,16 @@ object Dedup {
          |-- k - ceil(3k/5) + 1 grams under the shared (df, g60) order;
          |-- integer ceil keeps both engines exact.
          |pref AS (
-         |  SELECT doc_id,
+         |  SELECT doc_id, k,
          |         unnest(list_slice(sh, 1, CAST(k - ((3*k + 4) // 5) + 1 AS INT))) AS g60
          |  FROM docsets),
+         |-- Length filter, mirroring jaccardFromRanked: common is both
+         |-- >= ceil(0.6*max(ka,kb)) and <= min(ka,kb), so kept sizes
+         |-- further apart than 5/3 can never reach the threshold.
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM pref a JOIN pref b ON a.g60 = b.g60 AND a.doc_id < b.doc_id),
+         |  FROM pref a JOIN pref b ON a.g60 = b.g60 AND a.doc_id < b.doc_id
+         |   AND 3 * greatest(a.k, b.k) <= 5 * least(a.k, b.k)),
          |j AS (
          |  SELECT a_id, b_id,
          |         CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS common

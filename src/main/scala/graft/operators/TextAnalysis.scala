@@ -419,8 +419,8 @@ object TextAnalysis {
     // 5-gram text; both engines hash identically so the oracle stays
     // in lockstep.
     val ex = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split.as("split"), explode(shingleSet(col("text"), n)).as("g0"))
-      .select(col("doc_id"), col("split"), hash60(col("g0")).as("g"))
+      .select(col("doc_id"), split.as("split"),
+        explode(shingleSetHashed(col("text"), n)).as("g"))
     val test = ex.filter(col("split") === "test").select(col("doc_id"), col("g"))
     val train = ex.filter(col("split") === "train")
       .select(col("doc_id").as("train_id"), col("g"))

@@ -88,6 +88,15 @@ object VendasMart {
   def bucketedSilver(spark: SparkSession, sfDir: String, nBuckets: Int,
       liTable: String = "graft_silver_lineitem_b",
       ordTable: String = "graft_silver_orders_b"): Unit = {
+    // `mode("overwrite")` only overwrites a table the CATALOG knows.
+    // With the default in-memory catalog, a warehouse directory left
+    // by a previous JVM (killed run, fresh session over the same repo)
+    // is stale data with no catalog entry, and saveAsTable fails with
+    // LOCATION_ALREADY_EXISTS instead of overwriting. Clear such
+    // orphaned locations first; a table the catalog DOES know follows
+    // the normal overwrite path untouched.
+    clearStaleLocation(spark, liTable)
+    clearStaleLocation(spark, ordTable)
     Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice", "l_discount")
       .repartition(nBuckets, col("l_orderkey"))
@@ -98,6 +107,19 @@ object VendasMart {
       .repartition(nBuckets, col("o_orderkey"))
       .write.bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").format("parquet").saveAsTable(ordTable)
+  }
+
+  /** Delete a managed-table location that exists on disk but has no
+    * catalog entry (see [[bucketedSilver]]). Default-database managed
+    * tables live at `<warehouse.dir>/<name lowercase>`.
+    */
+  private def clearStaleLocation(spark: SparkSession, table: String): Unit = {
+    if (!spark.catalog.tableExists(table)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
   }
 
   /** The mart over a bucketed silver layout (see [[bucketedSilver]]):

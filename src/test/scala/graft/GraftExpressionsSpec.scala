@@ -112,6 +112,29 @@ class GraftExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("TextShingles hashed matches transform(shingleSet, hash60) bit-for-bit") {
+    val rnd = new scala.util.Random(11)
+    val words = Seq("alpha", "beta", "gamma", "delta", "x", "", " ", "émoji🎈")
+    val texts = (0 until 40).map { _ =>
+      (0 until rnd.nextInt(15)).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    } ++ Seq("", " ", "a", "a a a a a", "one  two   three")
+    for (n <- Seq(1, 3, 5)) {
+      val df = texts.toDF("text")
+        .select($"text", TextFns.shingleSetHashed($"text", n).as("native"),
+          transform(TextFns.shingleSet($"text", n),
+            g => TextFns.hash60(g)).as("chain"))
+      df.collect().foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"n=$n text='${r.getString(0)}'")
+      }
+    }
+    // Null propagates like the string form.
+    val rows = Seq(Option("one two three"), None).toDF("text")
+      .select(TextFns.shingleSetHashed($"text", 3)).collect()
+    assert(rows(0).getSeq[Long](0).nonEmpty)
+    assert(rows(1).isNullAt(0))
+  }
+
   test("TextShingles: null text -> null, short text -> empty array") {
     val df = Seq(Option("one two"), None).toDF("text")
     val rows = df.select(TextFns.shingleSet($"text", 3)).collect()
