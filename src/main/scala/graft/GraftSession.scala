@@ -25,6 +25,13 @@ object GraftSession {
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.session.timeZone", "UTC")
       .config(NanosAsLong, "true")
+      // Propagate the per-bucket sort order of the bucketed-silver
+      // tables (VendasMart.bucketedSilver writes one sorted file per
+      // bucket) into join planning — SPARK-28113 made the propagation
+      // opt-in, and without it a bucketed SMJ is exchange-free but
+      // re-sorts every bucket on every mart build, forfeiting half the
+      // layout's win. Harmless for non-bucketed reads.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
 
   /** Idempotent guard for sessions built OUTSIDE the library's entry
     * points (the driver smoke-checks `SparkEntry.entry` with its own

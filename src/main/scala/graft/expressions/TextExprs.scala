@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, MapType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Word n-gram shingle set in one native pass over the text.
@@ -169,5 +169,74 @@ case class CharNgramFingerprint(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): CharNgramFingerprint =
+    copy(child = newChild)
+}
+
+/** Per-document adjacent character-pair occurrence counts in ONE
+  * native pass — the map-side pre-aggregation of BPE merge counting.
+  *
+  * Equivalent to exploding every whitespace token (length ≥ 2), then
+  * every `charShingles(token, 2)` position, and counting occurrences —
+  * but that chain materializes one row PER CHARACTER of the corpus
+  * through two Generate stages (each with an interpreted
+  * `transform`/`substr` allocation per position). Here: one pass over
+  * the text, counts collapsed per document into a map<pair, count>, so
+  * the downstream explode emits one row per DISTINCT pair per doc and
+  * the global aggregate sums ready-made partial counts. Same totals,
+  * orders-of-magnitude fewer rows through the pipeline.
+  *
+  * Tokenization matches `TextFns.tokens` (split on single spaces, drop
+  * empties); pair boundaries are CODE POINTS, matching `substr`
+  * semantics in both engines (see [[CharNgramFingerprint]]) — BMP-only
+  * tokens keep the cheap char-indexed path.
+  */
+case class CharPairCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+
+  override def prettyName: String = "graft_char_pairs"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val counts = mutable.LinkedHashMap.empty[String, Long]
+    var start = 0
+    val len = text.length
+    var i = 0
+    while (i <= len) {
+      if (i == len || text.charAt(i) == ' ') {
+        if (i - start >= 2) {
+          val tok = text.substring(start, i)
+          val utf16Len = tok.length
+          if (tok.codePointCount(0, utf16Len) == utf16Len) {
+            var j = 0
+            val last = utf16Len - 2
+            while (j <= last) {
+              val g = tok.substring(j, j + 2)
+              counts.update(g, counts.getOrElse(g, 0L) + 1L)
+              j += 1
+            }
+          } else {
+            val cps = tok.codePoints.toArray
+            var j = 0
+            val last = cps.length - 2
+            while (j <= last) {
+              val g = new String(cps, j, 2)
+              counts.update(g, counts.getOrElse(g, 0L) + 1L)
+              j += 1
+            }
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      counts.keysIterator.map(UTF8String.fromString).toArray[Any],
+      counts.valuesIterator.map(java.lang.Long.valueOf).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharPairCounts =
     copy(child = newChild)
 }

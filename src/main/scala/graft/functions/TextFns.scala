@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnShim
 
-import graft.expressions.{DotProduct, TextShingles}
+import graft.expressions.{CharPairCounts, DotProduct, TextShingles}
 
 /** Column helpers shared by the text-analysis / dedup / similarity
   * operators. Everything here is built from codegen'd Spark built-ins
@@ -96,6 +96,16 @@ object TextFns {
     */
   def shingleList(text: Column, n: Int): Column =
     ColumnShim.column(TextShingles(ColumnShim.expression(text), n, distinct = false))
+
+  /** Per-doc adjacent character-pair occurrence counts as a
+    * `map<pair, count>` — native [[graft.expressions.CharPairCounts]],
+    * equivalent to counting `explode(charShingles(token, 2))` over
+    * every whitespace token of length ≥ 2. The BPE merge-counting
+    * pre-aggregate: one map row per doc instead of one row per
+    * character position.
+    */
+  def charPairCounts(text: Column): Column =
+    ColumnShim.column(CharPairCounts(ColumnShim.expression(text)))
 
   /** L2 norm via the same sequential fold. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))

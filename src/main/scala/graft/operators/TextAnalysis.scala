@@ -208,21 +208,23 @@ object TextAnalysis {
     * vocabulary training: count every adjacent character pair inside
     * whitespace tokens (occurrence-weighted, not per-type) and emit
     * the top candidates; the highest-count pair is the first merge a
-    * BPE trainer would perform. Shape: two map-side explodes (token,
-    * then its char bigrams via [[graft.functions.TextFns.charShingles]])
-    * into one pair-keyed aggregate — the pair vocabulary is tiny, so
-    * map-side combine collapses counts before the shuffle and the
-    * shuffle carries O(|pairs| × partitions) rows regardless of corpus
-    * size. Iterating BPE (re-segment, recount) repeats this same plan
-    * per merge step.
+    * BPE trainer would perform. Shape: the native
+    * [[graft.functions.TextFns.charPairCounts]] kernel pre-aggregates
+    * occurrence counts per DOCUMENT in one text pass (the two-explode
+    * chain it replaces pushed one row per character position through
+    * two Generate stages for identical totals — measured 39 s at
+    * sf10), then one pair-keyed sum of the per-doc partials — the pair
+    * vocabulary is tiny, so map-side combine collapses counts before
+    * the shuffle and the shuffle carries O(|pairs| × partitions) rows
+    * regardless of corpus size. Iterating BPE (re-segment, recount)
+    * repeats this same plan per merge step.
     */
   def bpeMerges(spark: SparkSession, sfDir: String, topK: Int = 20): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(explode(toksCol).as("t"))
-      .filter(length(col("t")) >= 2)
-      .select(explode(graft.functions.TextFns.charShingles(col("t"), 2)).as("pair"))
+      .select(explode(graft.functions.TextFns.charPairCounts(col("text")))
+        .as(Seq("pair", "n0")))
       .groupBy("pair")
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n0")).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(topK)
 
@@ -244,7 +246,11 @@ object TextAnalysis {
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(shingleSet(col("text"), 2)).as("bigram"))
       .groupBy("bigram")
-      .agg(countDistinct("doc_id").as("df"))
+      // (doc_id, bigram) is DISTINCT by construction (shingleSet
+      // dedups per doc), so a plain count IS the document frequency —
+      // countDistinct here only bought the distinct-aggregate rewrite
+      // (Expand + two-phase agg) for values already unique.
+      .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("bigram"))
       .limit(40)
 
@@ -387,7 +393,9 @@ object TextAnalysis {
   def boilerplate(spark: SparkSession, sfDir: String, minDf: Int = 3): DataFrame = {
     val ex = Dedup.shingleIndex(spark, sfDir)
       .select(col("doc_id"), col("g60").as("g"))
-    val df = ex.groupBy("g").agg(countDistinct("doc_id").as("df"))
+    // One row per (doc, gram) by index construction — count ≡
+    // countDistinct(doc_id), without the distinct-aggregate Expand.
+    val df = ex.groupBy("g").agg(count(lit(1)).as("df"))
     ex.join(df, Seq("g"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),

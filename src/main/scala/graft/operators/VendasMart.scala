@@ -131,12 +131,15 @@ object VendasMart {
       ordTable: String = "graft_silver_orders_b"): DataFrame =
     martFrom(spark, sfDir, spark.table(liTable), spark.table(ordTable))
 
-  /** Default bucket count for [[ensureBucketedSilver]]. 16 holds every
-    * local bench rung (sf10 lineitem ≈ 60 M rows → ~4 M rows/bucket);
-    * a real deployment sizes it to executors × target file size, the
-    * same knob as any warehouse bucketing DDL.
+  /** Default bucket count for [[ensureBucketedSilver]]. 32 matches the
+    * local harness's cores — a bucketed join runs one task per bucket,
+    * so fewer buckets than cores idles the difference in every
+    * downstream mart build (measured: 16 buckets on 32 cores gave the
+    * bucketed mart no wall-clock win at sf10 despite the elided
+    * exchange). A real deployment sizes it to executors × target file
+    * size, the same knob as any warehouse bucketing DDL.
     */
-  val SilverBuckets = 16
+  val SilverBuckets = 32
 
   /** One-time per-(session, corpus) bucketed-silver build backing
     * `q_vendas_mart_bucketed` — the [[graft.operators.Dedup]]

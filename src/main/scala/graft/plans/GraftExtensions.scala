@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.expressions.{CharNgramFingerprint, DotProduct, MinHashSignature, QuantizeStats, SimHash60, TextShingles}
+import graft.expressions.{CharNgramFingerprint, CharPairCounts, DotProduct, MinHashSignature, QuantizeStats, SimHash60, TextShingles}
 import graft.functions.TextFns
 import graft.operators.Dedup
 
@@ -72,6 +72,12 @@ object GraftExtensions {
         { args =>
           require(args.length == 2, "graft_char_fingerprint(text, n)")
           CharNgramFingerprint(args(0), intLit(args(1), "gram size n"))
+        }),
+      (FunctionIdentifier("graft_char_pairs"),
+        new ExpressionInfo(classOf[CharPairCounts].getName, "graft_char_pairs"),
+        { args =>
+          require(args.length == 1, "graft_char_pairs(text)")
+          CharPairCounts(args(0))
         }),
       (FunctionIdentifier("graft_quantize_stats"),
         new ExpressionInfo(classOf[QuantizeStats].getName, "graft_quantize_stats"),

@@ -135,6 +135,36 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(rows(1).isNullAt(0))
   }
 
+  test("CharPairCounts matches the explode(charShingles(token, 2)) counts") {
+    val rnd = new scala.util.Random(13)
+    val words = Seq("alpha", "beta", "aa", "x", "", "émoji🎈x", "🎈🎈")
+    val texts = (0 until 40).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => words(rnd.nextInt(words.length))).mkString(" ")
+    } ++ Seq("", " ", "a", "ab ab ab", "one  two   three")
+    val df = texts.toDF("text")
+    // Chain oracle: per-text occurrence counts of every adjacent char
+    // pair inside whitespace tokens of length >= 2.
+    val chain = df.select($"text", explode(TextFns.tokens($"text")).as("t"))
+      .filter(length($"t") >= 2)
+      .select($"text", explode(TextFns.charShingles($"t", 2)).as("pair"))
+      .groupBy("text", "pair").agg(count(lit(1)).as("n"))
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rows) =>
+        t -> rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+      }
+    val native = df.select($"text", TextFns.charPairCounts($"text").as("m"))
+      .collect().map(r => r.getString(0) -> r.getMap[String, Long](1).toMap).toMap
+    texts.distinct.foreach { t =>
+      assert(native(t) == chain.getOrElse(t, Map.empty[String, Long]),
+        s"text='$t'")
+    }
+    // Null propagates.
+    val rows = Seq(Option("ab cd"), None).toDF("text")
+      .select(TextFns.charPairCounts($"text")).collect()
+    assert(rows(0).getMap[String, Long](0).nonEmpty)
+    assert(rows(1).isNullAt(0))
+  }
+
   test("TextShingles: null text -> null, short text -> empty array") {
     val df = Seq(Option("one two"), None).toDF("text")
     val rows = df.select(TextFns.shingleSet($"text", 3)).collect()
@@ -353,7 +383,8 @@ class GraftExpressionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.plans.GraftExtensions().apply(ext) // must not throw
     assert(graft.plans.GraftExtensions.functions.map(_._1.funcName).sorted ==
-      Seq("graft_char_fingerprint", "graft_dot", "graft_minhash",
-        "graft_quantize_stats", "graft_shingles", "graft_simhash"))
+      Seq("graft_char_fingerprint", "graft_char_pairs", "graft_dot",
+        "graft_minhash", "graft_quantize_stats", "graft_shingles",
+        "graft_simhash"))
   }
 }
