@@ -358,8 +358,21 @@ object Dedup {
     // second shingle pass just for the Jaccard denominator.
     val ex = shingleIndex(spark, sfDir)
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    jaccardFromRanked(jaccardPrefixIndex(spark, sfDir), sizes)
+    jaccardFromRanked(jaccardPrefixIndex(spark, sfDir), sizes,
+      hashVerify = documentCount(spark, sfDir) >= VerifyHashJoinMinDocs)
   }
+
+  /** Corpus size past which the exact verify forces SHUFFLE_HASH on
+    * its array joins (same occupancy-ladder discipline as
+    * [[simHashBandBits]]). Below it the participant gram-array frame
+    * sits at-or-under AQE's broadcast threshold (~25 k docs × ~0.4 KB
+    * ≈ 10 MB) or sorts trivially, and the hint would only FORBID the
+    * broadcast AQE would otherwise pick (measured +1.9 s on the 5 k-doc
+    * corpus). Above it the frame can neither broadcast nor sort
+    * cheaply — an un-hinted SMJ sorts the candidate×array stream,
+    * the measured multi-GB spill driver at 150 k docs+.
+    */
+  val VerifyHashJoinMinDocs: Long = 100000L
 
   private val prefixCache = newCache()
 
@@ -411,7 +424,7 @@ object Dedup {
     */
   private[graft] def ngramJaccardOf(
       ex: DataFrame, sizes: DataFrame, dfCap: Option[Int]): DataFrame =
-    jaccardFromRanked(rankedOf(ex, dfCap), sizes)
+    jaccardFromRanked(rankedOf(ex, dfCap), sizes, hashVerify = false)
 
   /** The ranked kept-postings frame `(doc_id, g60, rn, k)` feeding
     * [[jaccardFromRanked]]: df-filtered postings ranked per doc in the
@@ -437,7 +450,7 @@ object Dedup {
   }
 
   private[graft] def jaccardFromRanked(
-      ranked: DataFrame, sizes: DataFrame): DataFrame = {
+      ranked: DataFrame, sizes: DataFrame, hashVerify: Boolean): DataFrame = {
     val pref = ranked
       .filter(col("rn") <= col("k") - expr("(3 * k + 4) DIV 5") + 1)
       .select(col("doc_id"), col("g60"), col("k"))
@@ -469,17 +482,21 @@ object Dedup {
     val docsets = ranked.select(col("doc_id"), col("g60"))
       .join(parts, Seq("doc_id"), "left_semi")
       .groupBy("doc_id").agg(collect_list(col("g60")).as("sh"))
-    // SHUFFLE_HASH on both verify joins: the probe stream carries the
-    // gram arrays (~0.4 KB/row), and a sort-merge join would SORT that
-    // array-laden stream — measured as GBs of sort spill at sf3+. A
-    // shuffled hash join builds on the slim docsets side (the hint
-    // names it) and streams the heavy side unsorted; same exchanges,
-    // zero sort.
+    // `hashVerify`: SHUFFLE_HASH on both verify joins — the probe
+    // stream carries the gram arrays (~0.4 KB/row), and a sort-merge
+    // join would SORT that array-laden stream (measured as GBs of sort
+    // spill at 150 k docs+). A shuffled hash join builds on the slim
+    // docsets side (the hint names it) and streams the heavy side
+    // unsorted; same exchanges, zero sort. Hinted only past
+    // [[VerifyHashJoinMinDocs]]: on a small corpus the hint forbids
+    // the broadcast AQE would pick and costs more than it saves.
+    def verifySide(as: String, shAs: String) = {
+      val d = docsets.select(col("doc_id").as(as), col("sh").as(shAs))
+      if (hashVerify) d.hint("SHUFFLE_HASH") else d
+    }
     cand
-      .join(docsets.select(col("doc_id").as("a_id"), col("sh").as("sha"))
-        .hint("SHUFFLE_HASH"), Seq("a_id"))
-      .join(docsets.select(col("doc_id").as("b_id"), col("sh").as("shb"))
-        .hint("SHUFFLE_HASH"), Seq("b_id"))
+      .join(verifySide("a_id", "sha"), Seq("a_id"))
+      .join(verifySide("b_id", "shb"), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         size(array_intersect(col("sha"), col("shb"))).cast("long").as("common"))
       .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
