@@ -345,11 +345,26 @@ object Dedup {
       shingleIndexOf(Tables.documents(spark, sfDir))
     }
 
-  /** Exact n-gram Jaccard ≥ 0.6 pairs via a prefix-filtered
-    * (SSJoin/PPJoin-style) inverted-index join — see [[ngramJaccardOf]]
-    * for the candidate-generation math. Exact ground truth / LSH
-    * verifier; the LSH pipeline below is the sub-linear production
-    * path.
+  /** Exact n-gram Jaccard ≥ 0.6 pairs — ground truth / LSH verifier;
+    * the LSH pipeline below is the sub-linear production path.
+    *
+    * LADDERED between two exact formulations (same discipline as
+    * [[simHashBandBits]] / [[embedPlanes]]; both emit the identical
+    * pair set, so the oracle SQL is rung-independent):
+    *
+    *  - below [[PrefixVerifyMinDocs]]: the PLAIN df-filtered postings
+    *    self-join ([[ngramJaccardPlainOf]]) — counts shared grams
+    *    directly, no arrays, no window, no extra index. In its
+    *    no-spill regime it is strictly cheaper than the prefix form's
+    *    three-read candidate/verify machinery (measured at 50 k docs:
+    *    2.8 s plain vs 7.5–13.5 s prefixed, both 0 spill).
+    *  - at/above: the PPJoin prefix-filtered candidate join + exact
+    *    per-pair verify ([[jaccardFromRanked]]). The plain form's
+    *    postings join pays Σdf² rows and enters a spill regime as
+    *    occupancy grows (measured: 0 spill at 50 k docs, 8.3 GB at
+    *    150 k, 39 GB at 500 k under the 8 GiB harness); the prefix
+    *    form holds it to 0–4.3 GB over the same span at equal-or-
+    *    better wall time, which is the posture that survives 100 TB.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     // Per-doc set size straight off the index: the index holds one row
@@ -358,8 +373,54 @@ object Dedup {
     // second shingle pass just for the Jaccard denominator.
     val ex = shingleIndex(spark, sfDir)
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    jaccardFromRanked(jaccardPrefixIndex(spark, sfDir), sizes,
-      hashVerify = documentCount(spark, sfDir) >= VerifyHashJoinMinDocs)
+    if (documentCount(spark, sfDir) >= PrefixVerifyMinDocs)
+      jaccardFromRanked(jaccardPrefixIndex(spark, sfDir), sizes,
+        hashVerify = documentCount(spark, sfDir) >= VerifyHashJoinMinDocs)
+    else
+      ngramJaccardPlainOf(ex, sizes, Some(MaxShingleDf))
+  }
+
+  /** Corpus size at which [[ngramJaccard]] switches from the plain
+    * postings self-join to the prefix-filtered + verify form. Set at
+    * the measured onset of the plain join's spill regime: 0 spill at
+    * 50 k docs, 8.3 GB at 150 k (the committed sf1/sf3 legs) — the
+    * flip sits between them, where the plain form's Σdf² pair stream
+    * first outgrows the execution-memory envelope.
+    */
+  val PrefixVerifyMinDocs: Long = 100000L
+
+  /** The PLAIN exact-Jaccard postings self-join (the sub-ladder rung):
+    * df-filter the inverted index, self-join on the gram, count shared
+    * grams per (a, b) pair directly. No arrays are ever built — the
+    * pair aggregate sees one flat row per shared gram — so at low
+    * occupancy this beats the prefix form's candidate/verify plumbing;
+    * its Σdf² input is what stops scaling past [[PrefixVerifyMinDocs]].
+    *
+    * Singleton-shingle prefilter: a shingle appearing in exactly one
+    * document can never contribute to an (a,b) pair, so drop it BEFORE
+    * the self-join (on a Zipf corpus most shingles are singletons).
+    * Per-pair `common` counts are unchanged: any shared shingle has
+    * df ≥ 2 by definition. The upper cap ([[MaxShingleDf]]) is the
+    * quadratic-occupancy bound — unlike the ≥2 filter it can change
+    * scores, so the oracle SQL carries the identical predicate.
+    */
+  private[graft] def ngramJaccardPlainOf(
+      ex: DataFrame, sizes: DataFrame, dfCap: Option[Int]): DataFrame = {
+    val dfFilter = dfCap.foldLeft(col("df") >= 2)((acc, cap) => acc && col("df") <= cap)
+    val shared = ex.groupBy("g60").agg(count(lit(1)).as("df"))
+      .filter(dfFilter).select("g60")
+    val exs = ex.join(shared, Seq("g60"), "left_semi")
+    val a = exs.select(col("doc_id").as("a_id"), col("g60"))
+    val b = exs.select(col("doc_id").as("b_id"), col("g60"))
+    val common = a.join(b, Seq("g60")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** Corpus size past which the exact verify forces SHUFFLE_HASH on
@@ -1069,7 +1130,11 @@ object Dedup {
     }
     phase("fingerprints")(fingerprints(spark, sfDir).count())
     phase("shingle_index")(shingleIndex(spark, sfDir).count())
-    phase("jaccard_prefix")(jaccardPrefixIndex(spark, sfDir).count())
+    // The prefix-verify index only exists on the prefix rung of the
+    // [[ngramJaccard]] ladder — building it below the flip would charge
+    // index_build for a frame no query reads.
+    if (documentCount(spark, sfDir) >= PrefixVerifyMinDocs)
+      phase("jaccard_prefix")(jaccardPrefixIndex(spark, sfDir).count())
     phase("minhash_signatures")(minHashSignatures(spark, sfDir).count())
     phase("lsh_pairs")(minHashPairs(spark, sfDir).count())
     phase("clusters")(nearDupClusters(spark, sfDir).count())

@@ -490,6 +490,25 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("jaccard ladder: prefix-filtered and plain forms emit identical pairs") {
+    import graft.functions.TextFns.shingleSet
+    // The two rungs of the ngramJaccard ladder must agree exactly —
+    // prefix filtering is provably lossless (pigeonhole on the overlap
+    // bound), so any divergence is a bug in one formulation.
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val sizes = docs.select($"doc_id", size(shingleSet($"text", 3)).cast("long").as("n"))
+    val ex = Dedup.shingleIndexOf(docs)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cap = Some(Dedup.MaxShingleDf)
+    val plain = canon(Dedup.ngramJaccardPlainOf(ex, sizes, cap))
+    assert(plain.nonEmpty, "fixture corpus must contain near-dup pairs")
+    assert(canon(Dedup.ngramJaccardOf(ex, sizes, cap)) == plain)
+    // And the hinted verify-join shape used past the 100k-doc rung:
+    assert(canon(Dedup.jaccardFromRanked(Dedup.rankedOf(ex, cap), sizes,
+      hashVerify = true)) == plain)
+  }
+
   test("jaccard df-cap: recall-neutral on the test corpus, binds on stopword grams") {
     import graft.functions.TextFns.shingleSet
     def pairsOf(docs: org.apache.spark.sql.DataFrame, cap: Option[Int]) = {

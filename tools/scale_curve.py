@@ -117,6 +117,28 @@ def main():
     print(f"total_min:   {meta_s['total_min_s']:.2f} -> {meta_b['total_min_s']:.2f} s")
     print(f"steal probes: small {meta_s['steal_probes']}/{meta_s['n_probes']}, "
           f"big {meta_b['steal_probes']}/{meta_b['n_probes']}")
+    # MACHINE-DRIFT check: each leg records the min wall time of a
+    # fixed constant-work sentinel (probe_floor_ms). The two legs ran
+    # the SAME sentinel, so their floors should match within noise; a
+    # divergent pair means the machine itself ran at different speeds
+    # when the legs were taken (observed r11: a VM whose single-core
+    # throughput silently halved with zero reported steal — vmstat
+    # idle, /proc/stat steal flat, python spin-loop 0.85 -> 1.79 s).
+    # Ratios from a drifted pair are scaled by the drift in BOTH
+    # directions, so print it loudly next to every verdict rather than
+    # silently normalizing (per-query sensitivity to machine state is
+    # not uniform — IO-bound and CPU-bound queries drift differently).
+    fs = meta_s.get("probe_floor_ms")
+    fb = meta_b.get("probe_floor_ms")
+    if fs and fb:
+        fr = fb / fs
+        print(f"probe floor: small {fs:.1f} ms, big {fb:.1f} ms "
+              f"(machine-speed ratio {fr:.2f})")
+        if fr > 1.25 or fr < 0.8:
+            print(f"  !! MACHINE DRIFT: the legs ran on materially "
+                  f"different machine speeds ({fr:.2f}x). Per-query "
+                  f"ratios are contaminated by ~that factor; re-run "
+                  f"the drifted leg before trusting flags either way.")
     if flagged:
         print(f"\nFLAGGED super-linear: {', '.join(flagged)}")
     if exempted:
