@@ -79,11 +79,42 @@ object Bench {
       probeSink.set(x) // publish so the loop cannot be dead-code eliminated
       (System.nanoTime() - t0) / 1e6
     }
+    // Aggregate-throughput sentinel: the SAME 50M-step spin run on one
+    // thread per core simultaneously, reported as wall ms. The
+    // single-thread floor cannot see a host that caps MANY-core
+    // throughput while letting single threads run full speed — the r11
+    // drift episode produced exactly that signature (floors at the
+    // 68 ms baseline, sweeps +18-30%). On SMT hardware the quiet-host
+    // baseline is ~2x the single-thread floor (two hyperthreads share
+    // a core); a materially higher ratio on a committed leg means the
+    // whole-machine envelope was degraded even though floors look
+    // clean. Recorded once before and once after the sweep.
+    def parProbeMs(): Double = {
+      val n = Runtime.getRuntime.availableProcessors()
+      val latch = new java.util.concurrent.CountDownLatch(n)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val threads = (0 until n).map { _ =>
+        val t = new Thread(() => {
+          start.await()
+          var x = 0x9E3779B97F4A7C15L; var i = 0
+          while (i < 50000000) { x = x * 6364136223846793005L + 1442695040888963407L; i += 1 }
+          probeSink.set(x)
+          latch.countDown()
+        })
+        t.setDaemon(true); t.start(); t
+      }
+      val t0 = System.nanoTime()
+      start.countDown()
+      latch.await()
+      (System.nanoTime() - t0) / 1e6
+    }
     // Warm up session machinery (parquet reader init, codegen compiler,
     // JIT) on the sf0.001 flagship so the first timed query doesn't
     // absorb one-time setup cost.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     spinProbeMs() // JIT-warm the probe loop itself before any recorded probe
+    parProbeMs()  // and the parallel variant (distinct lambda body)
+    val parProbeStartMs = parProbeMs()
     // Build the memoized index frames (shingle index, MinHash
     // signatures, LSH pairs, clusters) BEFORE timing starts and charge
     // them to a separate `index_build` line — otherwise the first
@@ -227,6 +258,7 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
+    val parProbeEndMs = parProbeMs()
     val results = named.zipWithIndex.map { case ((name, _), qi) =>
       val attempts = samples(qi)
       val ts = attempts.map(_._1).sorted
@@ -268,7 +300,7 @@ object Bench {
       val pr = q.probesMs.map(r3).mkString("[", ",", "]")
       s"""  "${q.name}": {"min_s": ${r3(q.min)}, "median_s": ${r3(q.median)}, "runs": ${q.runs}, "shuffle_write_mb": ${r3(q.shuffleWriteMb)}, "shuffle_read_mb": ${r3(q.shuffleReadMb)}, "spill_mb": ${r3(q.spillMb)}, "probe_ms": $pr}"""
     }.mkString(
-      s"""{\n  "_meta": {"round": "$roundTag", "sf": "$sfDir", "cpus": $cpus, "init_partitions": $initPartitions, "action": "noop-write", "attempt_order": "round-robin", "index_build_s": ${r3(indexBuild)}, "prewarm_ok": $prewarmOk, "prewarm_phases_s": $prewarmPhasesJson, "cache_probe": $cacheProbeJson, "total_median_s": ${r3(totalMedian)}, "total_min_s": ${r3(totalMin)}, "n_queries": ${results.size}, "probe_floor_ms": ${r3(probeFloor)}, "probe_median_ms": ${r3(probeMedian)}, "probe_max_ms": ${r3(probeMax)}, "steal_probes": $stealProbes, "n_probes": ${allProbes.size}, "errors": $errors, "reduced_sample": $reduced},\n""",
+      s"""{\n  "_meta": {"round": "$roundTag", "sf": "$sfDir", "cpus": $cpus, "init_partitions": $initPartitions, "action": "noop-write", "attempt_order": "round-robin", "index_build_s": ${r3(indexBuild)}, "prewarm_ok": $prewarmOk, "prewarm_phases_s": $prewarmPhasesJson, "cache_probe": $cacheProbeJson, "total_median_s": ${r3(totalMedian)}, "total_min_s": ${r3(totalMin)}, "n_queries": ${results.size}, "probe_floor_ms": ${r3(probeFloor)}, "probe_median_ms": ${r3(probeMedian)}, "probe_max_ms": ${r3(probeMax)}, "steal_probes": $stealProbes, "n_probes": ${allProbes.size}, "par_probe_ms": [${r3(parProbeStartMs)}, ${r3(parProbeEndMs)}], "par_probe_threads": ${Runtime.getRuntime.availableProcessors()}, "errors": $errors, "reduced_sample": $reduced},\n""",
       ",\n", "\n}\n")
     val sideBytes = side.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     java.nio.file.Files.write(java.nio.file.Paths.get(sidePath), sideBytes)
@@ -285,7 +317,7 @@ object Bench {
     val qs = results
       .map { q => "\"" + q.name + "\":" + (if (q.runs > 0) r3(q.min) else "-1") }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(totalMedian)},"unit":"sec","sf":"$sfDir","action":"noop-write,round-robin attempts,median-of-3 total,min-of-3 per query","total_min":${r3(totalMin)},"index_build":${r3(indexBuild)},"prewarm_phases":$prewarmPhasesJson,"cache_probe":$cacheProbeJson,"prewarm_ok":$prewarmOk,"n_queries":${results.size},"probe_floor_ms":${r3(probeFloor)},"steal_probes":$stealProbes,"errors":$errors,"reduced_sample":$reduced,"side_file":"$sidePath","round":"$roundTag","queries":$qs}""")
+    println(s"""{"metric":"total","value":${r3(totalMedian)},"unit":"sec","sf":"$sfDir","action":"noop-write,round-robin attempts,median-of-3 total,min-of-3 per query","total_min":${r3(totalMin)},"index_build":${r3(indexBuild)},"prewarm_phases":$prewarmPhasesJson,"cache_probe":$cacheProbeJson,"prewarm_ok":$prewarmOk,"n_queries":${results.size},"probe_floor_ms":${r3(probeFloor)},"steal_probes":$stealProbes,"par_probe_ms":[${r3(parProbeStartMs)},${r3(parProbeEndMs)}],"errors":$errors,"reduced_sample":$reduced,"side_file":"$sidePath","round":"$roundTag","queries":$qs}""")
     // Short summary repeated LAST: if the record above ever outgrows
     // the driver's tail window again, the totals still land intact.
     println(s"""{"metric":"total","value":${r3(totalMedian)},"unit":"sec","sf":"$sfDir","total_min":${r3(totalMin)},"index_build":${r3(indexBuild)},"prewarm_ok":$prewarmOk,"n_queries":${results.size},"probe_floor_ms":${r3(probeFloor)},"steal_probes":$stealProbes,"errors":$errors,"side_file":"$sidePath"}""")

@@ -139,6 +139,20 @@ def main():
                   f"different machine speeds ({fr:.2f}x). Per-query "
                   f"ratios are contaminated by ~that factor; re-run "
                   f"the drifted leg before trusting flags either way.")
+    # The parallel (all-cores) probe catches the drift mode the
+    # single-thread floor cannot: a host capping aggregate throughput
+    # while single threads run full speed. Compare the min of each
+    # leg's [start, end] pair.
+    ps = meta_s.get("par_probe_ms")
+    pb = meta_b.get("par_probe_ms")
+    if ps and pb:
+        pr = min(pb) / min(ps)
+        print(f"par probe:   small {min(ps):.0f} ms, big {min(pb):.0f} ms "
+              f"(aggregate-throughput ratio {pr:.2f})")
+        if pr > 1.25 or pr < 0.8:
+            print(f"  !! AGGREGATE-THROUGHPUT DRIFT ({pr:.2f}x) with "
+                  f"single-thread floors possibly clean — same caveat "
+                  f"as MACHINE DRIFT above.")
     if flagged:
         print(f"\nFLAGGED super-linear: {', '.join(flagged)}")
     if exempted:
