@@ -268,12 +268,31 @@ object Relational {
 
   /** Time-series resample + forward-fill: per user, an hourly grid
     * spanning [first, last] active hour; missing buckets inherit the
-    * last observed hourly total (`last(_, ignoreNulls)` over a
-    * running window). The grid explode is `sequence(h0, h1, 1 hour)`
-    * — per-key map work; the fill is one window over the user
-    * partition, so the whole query is one shuffle on user_id. The
-    * classic gap-filling shape for downsampled metrics at any scale
-    * (grid size is bounded by the time span, not the event count).
+    * last observed hourly total. The grid explode is
+    * `sequence(h0, h1, 1 hour)` — per-key map work; grid size is
+    * bounded by the time span, not the event count.
+    *
+    * UNION-fill, not join-fill: the textbook grid LEFT JOIN hourly
+    * demands (user_id, h) co-partitioning, so at scale the planner
+    * re-exchanges the grid onto the full key pair for the SMJ and
+    * then re-exchanges the joined frame BACK onto user_id for the
+    * ffill window — the two largest shuffles in the measured sf10
+    * plan, both carrying the grid (the query's biggest frame). (A
+    * user_id-only co-partitioned join would avoid them, but Spark 4
+    * requires all cluster keys for join co-partitioning by default.)
+    * Instead, UNION the tagged grid rows under the hourly rows and
+    * run the fill over (h, src DESC): within an hour the observed row
+    * (src=1) sorts before its grid row (src=0), so
+    * `last(v, ignoreNulls)` lands the same-hour value on the grid row
+    * and carries it forward across gap hours — exactly the join
+    * semantics. `was_gap` is "no observed row this hour" =
+    * max(src) over (user_id, h), which reuses the same exchange
+    * (hash(user_id) already clusters the (user_id, h) partition spec)
+    * and the same sort (prefix of (h, src⁻)). The whole query is ONE
+    * exchange of grid+hourly rows on user_id plus one sort — at sf10,
+    * two grid-sized exchanges and two sorts fewer than the join form
+    * (measured 36.2 → ~21 s).
+    *
     * Span note: the per-key `sequence` is O(hours in [first, last]) —
     * a key active across years emits ~10⁴ rows, fine; but an
     * unbounded retention window should clamp the grid (e.g. resample
@@ -288,13 +307,21 @@ object Relational {
       .agg(min("h").as("h0"), max("h").as("h1"))
       .select(col("user_id"),
         explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
-    val w = Window.partitionBy("user_id").orderBy("h")
+    val tagged = grid
+      .select(col("user_id"), col("h"),
+        lit(null).cast("double").as("v"), lit(0).as("src"))
+      .unionByName(hourly.select(col("user_id"), col("h"), col("v"), lit(1).as("src")))
+    val fill = Window.partitionBy("user_id")
+      .orderBy(col("h"), col("src").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(hourly, Seq("user_id", "h"), "left")
-      .withColumn("filled", last("v", ignoreNulls = true).over(w))
+    val presence = Window.partitionBy("user_id", "h")
+    tagged
+      .withColumn("filled", last("v", ignoreNulls = true).over(fill))
+      .withColumn("has_obs", max("src").over(presence))
+      .filter(col("src") === 0)
       .select(col("user_id"), col("h"),
         round(col("filled"), 4).as("value_ffill"),
-        col("v").isNull.as("was_gap"))
+        (col("has_obs") === 0).as("was_gap"))
     // No trailing global orderBy: the output is already hour-ordered
     // WITHIN each user partition (the ffill window sorted it), the
     // correctness driver sorts rows before hashing, and a global sort
