@@ -114,7 +114,14 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     spinProbeMs() // JIT-warm the probe loop itself before any recorded probe
     parProbeMs()  // and the parallel variant (distinct lambda body)
-    val parProbeStartMs = parProbeMs()
+    // min-of-3 at each end: a single parallel sample is noisy (one
+    // laggard hyperthread sets the wall time), and the end sample can
+    // legitimately catch Spark's own cleanup threads — the committed
+    // r11 legs' single-sample pairs wandered 70-178 ms on a machine
+    // whose genuine drift episode read >= 2x.
+    def parProbeMin3(): Double =
+      Seq(parProbeMs(), parProbeMs(), parProbeMs()).min
+    val parProbeStartMs = parProbeMin3()
     // Build the memoized index frames (shingle index, MinHash
     // signatures, LSH pairs, clusters) BEFORE timing starts and charge
     // them to a separate `index_build` line — otherwise the first
@@ -258,7 +265,7 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
-    val parProbeEndMs = parProbeMs()
+    val parProbeEndMs = parProbeMin3()
     val results = named.zipWithIndex.map { case ((name, _), qi) =>
       val attempts = samples(qi)
       val ts = attempts.map(_._1).sorted

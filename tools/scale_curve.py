@@ -148,8 +148,9 @@ def main():
     if ps and pb:
         pr = min(pb) / min(ps)
         print(f"par probe:   small {min(ps):.0f} ms, big {min(pb):.0f} ms "
-              f"(aggregate-throughput ratio {pr:.2f})")
-        if pr > 1.25 or pr < 0.8:
+              f"(aggregate-throughput ratio {pr:.2f}; this host "
+              f"normally wanders +/-50%, so only >=2x is actionable)")
+        if pr > 2.0 or pr < 0.5:
             print(f"  !! AGGREGATE-THROUGHPUT DRIFT ({pr:.2f}x) with "
                   f"single-thread floors possibly clean — same caveat "
                   f"as MACHINE DRIFT above.")
