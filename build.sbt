@@ -32,4 +32,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK-8192647 hardening: with 32 executor threads inside
+  // JNI-critical parquet codec sections, G1 can throw a SPURIOUS
+  // "Java heap space" OOM after a handful of GCLocker retries while
+  // allocating a few WORDS (observed killing an sf10 mart run with
+  // "Retried waiting for GCLocker too often allocating 3 words").
+  // Raising the retry count is the documented workaround; it changes
+  // no sizing and no measured timing, only removes the false abort.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=100",
 )

@@ -32,6 +32,22 @@ object GraftSession {
       // re-sorts every bucket on every mart build, forfeiting half the
       // layout's win. Harmless for non-bucketed reads.
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // Runtime (AQE) broadcast threshold, raised above the 10 MB
+      // static default. The static threshold guards against broadcasts
+      // planned from ESTIMATES (a wrong estimate OOMs the driver); the
+      // adaptive one applies to MEASURED stage outputs, where Spark's
+      // own guidance is that a higher bound is safe. The motivating
+      // plan is the sf10 vendas_mart: the events-pivot side shuffles
+      // 12 MB (150 k users x 6 cols) — just past 10 MB — so AQE kept a
+      // sort-merge join whose fact-side Sort of 60 M rows spilled
+      // 6.4 GB disk under the 8 GiB harness; at 48 MB the measured
+      // 12 MB side broadcasts and the sort disappears. Sizing: a 48 MB
+      // compressed stage inflates to a ~200 MB hash relation, well
+      // inside an 8 GiB executor — and a pivot side that genuinely
+      // outgrows the bound at 100 TB (e.g. 100 M users ~ 5 GB) is
+      // MEASURED over it, so AQE falls back to the SMJ by itself;
+      // nothing is hand-scheduled on a guess.
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "48m")
 
   /** Idempotent guard for sessions built OUTSIDE the library's entry
     * points (the driver smoke-checks `SparkEntry.entry` with its own

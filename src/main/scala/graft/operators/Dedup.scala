@@ -373,9 +373,14 @@ object Dedup {
     // second shingle pass just for the Jaccard denominator.
     val ex = shingleIndex(spark, sfDir)
     val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    if (documentCount(spark, sfDir) >= PrefixVerifyMinDocs)
+    val nDocs = documentCount(spark, sfDir)
+    // The two thresholds coincide today (both 100 k), so on the prefix
+    // rung hashVerify is always true; they stay separate knobs because
+    // they bound different regimes (plain-join spill onset vs the
+    // verify frame outgrowing broadcast/cheap-sort).
+    if (nDocs >= PrefixVerifyMinDocs)
       jaccardFromRanked(jaccardPrefixIndex(spark, sfDir), sizes,
-        hashVerify = documentCount(spark, sfDir) >= VerifyHashJoinMinDocs)
+        hashVerify = nDocs >= VerifyHashJoinMinDocs)
     else
       ngramJaccardPlainOf(ex, sizes, Some(MaxShingleDf))
   }

@@ -285,8 +285,12 @@ object Relational {
     * (src=1) sorts before its grid row (src=0), so
     * `last(v, ignoreNulls)` lands the same-hour value on the grid row
     * and carries it forward across gap hours — exactly the join
-    * semantics. `was_gap` is "no observed row this hour" =
-    * max(src) over (user_id, h), which reuses the same exchange
+    * semantics. `was_gap` mirrors the join form's `v IS NULL`: "no
+    * observed row with a non-null hourly sum" = max(src·[v≠null])
+    * over (user_id, h) — the [v≠null] guard matters only when every
+    * event value in an observed hour is NULL (sum(value) IS NULL),
+    * where the join form reports a gap; plain max(src) would not.
+    * The presence window reuses the same exchange
     * (hash(user_id) already clusters the (user_id, h) partition spec)
     * and the same sort (prefix of (h, src⁻)). The whole query is ONE
     * exchange of grid+hourly rows on user_id plus one sort — at sf10,
@@ -317,7 +321,8 @@ object Relational {
     val presence = Window.partitionBy("user_id", "h")
     tagged
       .withColumn("filled", last("v", ignoreNulls = true).over(fill))
-      .withColumn("has_obs", max("src").over(presence))
+      .withColumn("has_obs",
+        max(when(col("v").isNotNull, col("src")).otherwise(lit(0))).over(presence))
       .filter(col("src") === 0)
       .select(col("user_id"), col("h"),
         round(col("filled"), 4).as("value_ffill"),

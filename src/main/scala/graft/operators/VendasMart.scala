@@ -165,13 +165,54 @@ object VendasMart {
     })
   }
 
+  /** Measured pivot-side join-strategy ladder (r12, closing the sf10
+    * spill diagnosis). The mart's one residual at-scale spill was the
+    * SORT of the 60 M-row fact frame feeding a sort-merge join whose
+    * OTHER side is the events pivot — 150 k rows / 12 MB shuffled at
+    * sf10 (6.4 GB disk spill for a 12 MB build side; SpillProfile
+    * attribution in SCALE.md). AQE cannot rescue this join by itself:
+    * its runtime-size broadcast threshold applies only to plans whose
+    * stats are marked runtime, and that flag does not survive
+    * propagation through the final pivot Aggregate sitting between
+    * the materialized shuffle stage and the join — measured A/B at
+    * 48 MB and 200 MB adaptive thresholds left the SMJ in place while
+    * the stage read 34.2 MB. So the library carries the decision where
+    * the knowledge lives, the same occupancy-ladder discipline as
+    * `Dedup.simHashBandBits`: the pivot frame is one fixed-width row
+    * per active user (~[[PivotRowBytes]]), so a one-scan
+    * `approx_count_distinct` over `events.user_id` (memoized per
+    * (session, corpus); charged to index_build by Bench's prewarm)
+    * bounds it exactly, and the mart broadcasts the pivot side iff
+    * that bound fits [[PivotBroadcastMaxBytes]]. Past the bound — a
+    * corpus with hundreds of millions of active users — the hint is
+    * withheld and the join degrades to the shuffled form by design,
+    * with the fact-side sort as the documented price.
+    */
+  val PivotRowBytes: Long = 64L
+  val PivotBroadcastMaxBytes: Long = 256L << 20
+
+  private val userEstCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  def pivotUserEstimate(spark: SparkSession, sfDir: String): Long = {
+    userEstCache.keySet.foreach { k =>
+      if (k._1.sparkContext.isStopped) userEstCache.remove(k)
+    }
+    userEstCache.getOrElseUpdate((spark, sfDir),
+      Tables.events(spark, sfDir)
+        .agg(approx_count_distinct("user_id")).head().getLong(0))
+  }
+
   private def martFrom(spark: SparkSession, sfDir: String,
       li: DataFrame, ord: DataFrame): DataFrame = {
     val prt = Tables.part(spark, sfDir)
       .select("p_partkey", "p_type")
     val cst = Tables.customer(spark, sfDir)
       .select("c_custkey", "c_mktsegment", "c_nationkey")
-    val evp = eventsPivot(spark, sfDir)
+    val evpRaw = eventsPivot(spark, sfDir)
+    val evp =
+      if (pivotUserEstimate(spark, sfDir) * PivotRowBytes <= PivotBroadcastMaxBytes)
+        broadcast(evpRaw)
+      else evpRaw
 
     li
       .join(ord, li("l_orderkey") === ord("o_orderkey"), "left")

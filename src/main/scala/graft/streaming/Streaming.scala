@@ -110,6 +110,23 @@ object Streaming {
     */
   def admissionStream(docs: DataFrame, corpus: DataFrame,
       gate: String = "10 minutes"): DataFrame = {
+    val (corpusFp, corpusIdx) = admissionIndex(corpus)
+    admissionStreamIndexed(docs, corpusFp, corpusIdx, gate)
+  }
+
+  /** The admission stream's STATIC side, factored out so a caller can
+    * persist/materialize it once and admit many batches against it —
+    * the production regime, where the batch dedup pipeline maintains
+    * these as tables and admission only reads them. [[admissionStream]]
+    * builds them inline (each micro-batch then re-plans the static
+    * subtree), which is the honest COLD cost of the first-ever batch;
+    * the steady-state cost is the indexed form below over a prewarmed
+    * pair (StreamingBench records both legs).
+    *
+    * @return (fingerprint set `c_fp`, banded signature index
+    *         `(cband, cbucket, csig)`)
+    */
+  def admissionIndex(corpus: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.{Column => Col}
     import org.apache.spark.sql.graft.ColumnShim
     import graft.operators.Dedup._
@@ -118,17 +135,38 @@ object Streaming {
     def sigCol: Col = ColumnShim.column(graft.expressions.MinHashSignature(
       ColumnShim.expression(col("text")), 3, MinHashPrime,
       (0 until NumHashes).map(hashA), (0 until NumHashes).map(hashB)))
-    def bandKeys(sig: Col): Col = array((0 until NumBands).map { b =>
-      md5(concat_ws(",",
-        (0 until BandRows).map(r => element_at(sig, b * BandRows + r + 1)): _*))
-    }: _*)
 
-    // Static index — at scale, read from the persisted index tables.
     val corpusFp = corpus.select(hash60(col("text")).as("c_fp")).distinct()
     val corpusIdx = corpus.select(sigCol.as("csig"))
       .filter(element_at(col("csig"), 1) =!= Long.MaxValue)
-      .select(posexplode(bandKeys(col("csig"))).as(Seq("cband", "cbucket")),
+      .select(posexplode(admissionBandKeys(col("csig"))).as(Seq("cband", "cbucket")),
         col("csig"))
+    (corpusFp, corpusIdx)
+  }
+
+  private def admissionBandKeys(sig: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.operators.Dedup._
+    array((0 until NumBands).map { b =>
+      md5(concat_ws(",",
+        (0 until BandRows).map(r => element_at(sig, b * BandRows + r + 1)): _*))
+    }: _*)
+  }
+
+  /** Admission against a PREBUILT static index (see [[admissionIndex]]).
+    * Semantics identical to [[admissionStream]] — that overload is
+    * literally this one over freshly-derived index frames.
+    */
+  def admissionStreamIndexed(docs: DataFrame, corpusFp: DataFrame,
+      corpusIdx: DataFrame, gate: String = "10 minutes"): DataFrame = {
+    import org.apache.spark.sql.{Column => Col}
+    import org.apache.spark.sql.graft.ColumnShim
+    import graft.operators.Dedup._
+    import graft.functions.TextFns._
+
+    def sigCol: Col = ColumnShim.column(graft.expressions.MinHashSignature(
+      ColumnShim.expression(col("text")), 3, MinHashPrime,
+      (0 until NumHashes).map(hashA), (0 until NumHashes).map(hashB)))
+    def bandKeys(sig: Col): Col = admissionBandKeys(sig)
 
     val agree = (0 until NumHashes).map(i =>
       when(element_at(col("ssig"), i + 1) === element_at(col("csig"), i + 1), 1)

@@ -162,13 +162,35 @@ object StreamingBench {
         col("doc_id"), col("text"))
       .write.mode("overwrite").parquet(s"$work/incoming_docs")
     val corpus = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    def docsStream = spark.readStream
+      .schema(spark.read.parquet(s"$work/incoming_docs").schema)
+      .parquet(s"$work/incoming_docs")
     leg("admission", nDocs) {
-      val docsStream = spark.readStream
-        .schema(spark.read.parquet(s"$work/incoming_docs").schema)
-        .parquet(s"$work/incoming_docs")
       Streaming.admissionStream(docsStream, corpus)
         .writeStream.format("noop")
         .option("checkpointLocation", s"$work/ckpt_adm")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
+
+    // --- admission, STEADY-STATE regime: the same verdict stream
+    // against the PREWARMED persisted index (Streaming.admissionIndex
+    // materialized before the clock starts) — the production shape,
+    // where the batch dedup pipeline maintains the fingerprint/band
+    // tables and a day's admissions amortize the build to zero. The
+    // cold leg above deliberately pays the inline index build (the
+    // first-ever batch's honest cost); this leg records what every
+    // later batch pays. Same incoming docs, fresh checkpoint.
+    val (rawFp, rawIdx) = Streaming.admissionIndex(corpus)
+    val warmFp = rawFp.persist()
+    val warmIdx = rawIdx.persist()
+    val tIdx0 = System.nanoTime()
+    val idxRows = warmFp.count() + warmIdx.count()
+    println(s"""{"leg":"admission_index_build","rows":$idxRows,""" +
+      s""""secs":${r1((System.nanoTime() - tIdx0) / 1e9)},"sf":"$sfDir"}""")
+    leg("admission_steady", nDocs) {
+      Streaming.admissionStreamIndexed(docsStream, warmFp, warmIdx)
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$work/ckpt_adm_steady")
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
     }
 

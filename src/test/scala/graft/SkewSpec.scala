@@ -19,6 +19,11 @@ class SkewSpec extends SparkSpec {
   test("AQE splits a skewed sort-merge join partition (skew=true in the plan)") {
     val confs = Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+      // The session pins a runtime (AQE) broadcast threshold too
+      // (GraftSession, the mart spill fix) — without disabling it the
+      // tiny right side broadcasts at replan time and the skew path
+      // never runs.
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",

@@ -37,7 +37,40 @@ print EXEMPT with the regime — loudly, never silently — and do not
 gate; every other query gates exactly as before."""
 import json
 import os
+import re
 import sys
+
+
+def sf_of(meta):
+    """Scale factor parsed from the leg's corpus dir name (.../sf10,
+    .../sf0.1); None when the dir doesn't carry one."""
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)/?$", str(meta.get("sf", "")))
+    return float(m.group(1)) if m else None
+
+
+def exemption_applies(e, meta_s, meta_b):
+    """A flip-step exemption is honored ONLY on the adjudicated step.
+
+    When the entry records a corpus straddle (flip_docs + docs_per_sf),
+    the cap applies iff the two legs' corpus sizes cross the flip:
+    small < flip_docs <= big. Same-rung steps (both below or both at/
+    above the flip) gate exactly as unexempted queries — a genuine
+    regression on one rung must not hide under the flip's cap. Entries
+    without a straddle keep the old behavior (cap on any step). If a
+    leg's sf can't be parsed, be conservative: the cap is NOT honored.
+    """
+    flip = e.get("flip_docs")
+    per_sf = e.get("docs_per_sf")
+    if flip is None or per_sf is None:
+        return True, None
+    fs, fb = sf_of(meta_s), sf_of(meta_b)
+    if fs is None or fb is None:
+        return False, "leg sf unparseable; straddle unverifiable, gating"
+    ds, db = fs * per_sf, fb * per_sf
+    if ds < flip <= db:
+        return True, None
+    return False, (f"same-rung step ({ds:.0f} -> {db:.0f} docs, flip at "
+                   f"{flip:.0f}); exemption scoped to the flip step, gating")
 
 
 def fam(name):
@@ -86,7 +119,12 @@ def main():
             # future regression of any magnitude. A 10x-from-a-plan-bug
             # step on an exempted query must still gate.
             cap = exemptions.get(name, {}).get("max_normalized_ratio")
-            if name in exemptions and (cap is None or r / mult <= cap):
+            applies, why = (exemption_applies(exemptions[name], meta_s, meta_b)
+                            if name in exemptions else (False, None))
+            if name in exemptions and not applies:
+                mark = f" <-- SUPER-LINEAR ({why})"
+                flagged.append(name)
+            elif name in exemptions and (cap is None or r / mult <= cap):
                 mark = " <-- EXEMPT (adjudicated: see SCALE_EXEMPTIONS.json)"
                 exempted.append(name)
             elif name in exemptions:
