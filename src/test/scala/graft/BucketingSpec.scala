@@ -129,4 +129,57 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS t_ord_b")
     }
   }
+
+  test("a stamped silver layout from a previous session re-registers instead of rebuilding") {
+    // The in-memory catalog forgets the bucketed-silver tables at JVM
+    // exit while their files survive in the warehouse; reRegisterSilver
+    // re-attaches them via external-table DDL iff the _graft_src_stamp
+    // still matches the source corpus. Simulate "previous session" by
+    // copying a freshly-built managed table's directory to a name the
+    // catalog has never seen.
+    val sfDir = "/root/testdata/sf0.001"
+    val liSrc = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice", "l_discount")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(conf)
+    def loc(t: String) = new org.apache.hadoop.fs.Path(wh, t)
+    try {
+      // Build + stamp under one name; clone the files under another.
+      liSrc.repartition(operators.VendasMart.SilverBuckets, col("l_orderkey"))
+        .write.bucketBy(operators.VendasMart.SilverBuckets, "l_orderkey")
+        .sortBy("l_orderkey").mode("overwrite").format("parquet")
+        .saveAsTable("t_reuse_src")
+      operators.VendasMart.stampSilver(spark, sfDir, "t_reuse_src")
+      org.apache.hadoop.fs.FileUtil.copy(fs, loc("t_reuse_src"),
+        fs, loc("t_reuse_orphan"), false, conf)
+      org.apache.hadoop.fs.FileUtil.copy(fs, loc("t_reuse_src"),
+        fs, loc("t_reuse_stale"), false, conf)
+
+      // Matching stamp -> re-registered, same rows, bucket spec intact.
+      assert(operators.VendasMart.reRegisterSilver(spark, sfDir,
+        "t_reuse_orphan", "l_orderkey", liSrc.schema))
+      assert(spark.catalog.tableExists("t_reuse_orphan"))
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("t_reuse_orphan"))
+      assert(meta.bucketSpec.exists(b =>
+        b.numBuckets == operators.VendasMart.SilverBuckets &&
+        b.bucketColumnNames == Seq("l_orderkey") &&
+        b.sortColumnNames == Seq("l_orderkey")), s"bucket spec: ${meta.bucketSpec}")
+      assert(spark.table("t_reuse_orphan").count() == liSrc.count())
+
+      // Tampered stamp -> refused (a regenerated corpus must rebuild).
+      val stale = new org.apache.hadoop.fs.Path(loc("t_reuse_stale"), "_graft_src_stamp")
+      val out = fs.create(stale, true)
+      try out.write("stale".getBytes("UTF-8")) finally out.close()
+      assert(!operators.VendasMart.reRegisterSilver(spark, sfDir,
+        "t_reuse_stale", "l_orderkey", liSrc.schema))
+      assert(!spark.catalog.tableExists("t_reuse_stale"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_reuse_src")
+      spark.sql("DROP TABLE IF EXISTS t_reuse_orphan") // external: files remain
+      Seq("t_reuse_orphan", "t_reuse_stale").foreach(t =>
+        if (fs.exists(loc(t))) fs.delete(loc(t), true))
+    }
+  }
 }

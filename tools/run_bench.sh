@@ -18,10 +18,10 @@ for p in java.base/java.lang java.base/java.lang.invoke \
          java.base/sun.security.action java.base/sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens $p=ALL-UNNAMED"
 done
-exec java $ADD_OPENS \
+exec java $ADD_OPENS ${SPARK_GRAFT_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -XX:+UnlockDiagnosticVMOptions \
   -XX:GCLockerRetryAllocationCount=100 \
-  -cp "$CP" "${1:-graft.Bench}"
+  -cp "$CP" "${@:-graft.Bench}"
