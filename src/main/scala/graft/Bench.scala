@@ -89,6 +89,46 @@ object Bench {
     // a core); a materially higher ratio on a committed leg means the
     // whole-machine envelope was degraded even though floors look
     // clean. Recorded once before and once after the sweep.
+    // Aggregate memory-BANDWIDTH sentinel (r12). The r12 sf0.1 leg ran
+    // uniformly ~1.4x slower than r11 with bit-identical per-query
+    // shuffle/spill bytes, clean single-thread floors (68.5 ms), and a
+    // HEALTHY parallel ALU probe — a host regime none of the existing
+    // sentinels can see, because they are all register/ALU-bound while
+    // Spark's scan/hash/sort hot loops are memory-bound. This probe is
+    // the discriminator: every core streams a private 16 MB long array
+    // three times (allocation outside the timed region; sums published
+    // to the sink so the loops survive DCE) and the wall time is an
+    // aggregate-bandwidth proxy (threads x 48 MB / wall). A leg pair
+    // whose ALU probes agree but whose mem probes diverge is
+    // adjudicated environmental-bandwidth from the record alone.
+    def memProbeMs(): Double = {
+      val n = Runtime.getRuntime.availableProcessors()
+      val ready = new java.util.concurrent.CountDownLatch(n)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val done = new java.util.concurrent.CountDownLatch(n)
+      (0 until n).foreach { _ =>
+        val t = new Thread(() => {
+          val a = new Array[Long](2 * 1024 * 1024) // 16 MB
+          var i = 0
+          while (i < a.length) { a(i) = i; i += 1 }
+          ready.countDown(); start.await()
+          var s = 0L; var pass = 0
+          while (pass < 3) {
+            var j = 0
+            while (j < a.length) { s += a(j); j += 1 }
+            pass += 1
+          }
+          probeSink.set(s)
+          done.countDown()
+        })
+        t.setDaemon(true); t.start()
+      }
+      ready.await()
+      val t0 = System.nanoTime()
+      start.countDown()
+      done.await()
+      (System.nanoTime() - t0) / 1e6
+    }
     def parProbeMs(): Double = {
       val n = Runtime.getRuntime.availableProcessors()
       val latch = new java.util.concurrent.CountDownLatch(n)
@@ -121,7 +161,12 @@ object Bench {
     // whose genuine drift episode read >= 2x.
     def parProbeMin3(): Double =
       Seq(parProbeMs(), parProbeMs(), parProbeMs()).min
+    def memProbeMin3(): Double = {
+      memProbeMs() // JIT/page-fault warm pass, discarded
+      Seq(memProbeMs(), memProbeMs(), memProbeMs()).min
+    }
     val parProbeStartMs = parProbeMin3()
+    val memProbeStartMs = memProbeMin3()
     // Build the memoized index frames (shingle index, MinHash
     // signatures, LSH pairs, clusters) BEFORE timing starts and charge
     // them to a separate `index_build` line — otherwise the first
@@ -181,13 +226,14 @@ object Bench {
         val tB0 = System.nanoTime()
         operators.VendasMart.ensureBucketedSilver(spark, sfDir)
         prewarmPhases :+= ("bucketed_silver" -> (System.nanoTime() - tB0) / 1e9)
-        // The mart's pivot-broadcast ladder reads a memoized
-        // approx-distinct user count (VendasMart.pivotUserEstimate) —
-        // one events scan, amortized across every mart build exactly
-        // like the index frames, so charge it here too.
+        // The mart's join-strategy ladders read memoized statistics
+        // (approx-distinct user count for the pivot, metadata counts
+        // for part/customer) — one scan each, amortized across every
+        // mart build exactly like the index frames, so charge them
+        // here too.
         val tU0 = System.nanoTime()
-        operators.VendasMart.pivotUserEstimate(spark, sfDir)
-        prewarmPhases :+= ("mart_pivot_stats" -> (System.nanoTime() - tU0) / 1e9)
+        operators.VendasMart.martJoinStats(spark, sfDir)
+        prewarmPhases :+= ("mart_join_stats" -> (System.nanoTime() - tU0) / 1e9)
         true
       }
       catch { case e: Throwable =>
@@ -273,6 +319,7 @@ object Bench {
       }
     }
     val parProbeEndMs = parProbeMin3()
+    val memProbeEndMs = memProbeMin3()
     val results = named.zipWithIndex.map { case ((name, _), qi) =>
       val attempts = samples(qi)
       val ts = attempts.map(_._1).sorted
@@ -314,7 +361,7 @@ object Bench {
       val pr = q.probesMs.map(r3).mkString("[", ",", "]")
       s"""  "${q.name}": {"min_s": ${r3(q.min)}, "median_s": ${r3(q.median)}, "runs": ${q.runs}, "shuffle_write_mb": ${r3(q.shuffleWriteMb)}, "shuffle_read_mb": ${r3(q.shuffleReadMb)}, "spill_mb": ${r3(q.spillMb)}, "probe_ms": $pr}"""
     }.mkString(
-      s"""{\n  "_meta": {"round": "$roundTag", "sf": "$sfDir", "cpus": $cpus, "init_partitions": $initPartitions, "action": "noop-write", "attempt_order": "round-robin", "index_build_s": ${r3(indexBuild)}, "prewarm_ok": $prewarmOk, "prewarm_phases_s": $prewarmPhasesJson, "cache_probe": $cacheProbeJson, "total_median_s": ${r3(totalMedian)}, "total_min_s": ${r3(totalMin)}, "n_queries": ${results.size}, "probe_floor_ms": ${r3(probeFloor)}, "probe_median_ms": ${r3(probeMedian)}, "probe_max_ms": ${r3(probeMax)}, "steal_probes": $stealProbes, "n_probes": ${allProbes.size}, "par_probe_ms": [${r3(parProbeStartMs)}, ${r3(parProbeEndMs)}], "par_probe_threads": ${Runtime.getRuntime.availableProcessors()}, "errors": $errors, "reduced_sample": $reduced},\n""",
+      s"""{\n  "_meta": {"round": "$roundTag", "sf": "$sfDir", "cpus": $cpus, "init_partitions": $initPartitions, "action": "noop-write", "attempt_order": "round-robin", "index_build_s": ${r3(indexBuild)}, "prewarm_ok": $prewarmOk, "prewarm_phases_s": $prewarmPhasesJson, "cache_probe": $cacheProbeJson, "total_median_s": ${r3(totalMedian)}, "total_min_s": ${r3(totalMin)}, "n_queries": ${results.size}, "probe_floor_ms": ${r3(probeFloor)}, "probe_median_ms": ${r3(probeMedian)}, "probe_max_ms": ${r3(probeMax)}, "steal_probes": $stealProbes, "n_probes": ${allProbes.size}, "par_probe_ms": [${r3(parProbeStartMs)}, ${r3(parProbeEndMs)}], "mem_probe_ms": [${r3(memProbeStartMs)}, ${r3(memProbeEndMs)}], "mem_probe_mb_per_thread": 48, "par_probe_threads": ${Runtime.getRuntime.availableProcessors()}, "errors": $errors, "reduced_sample": $reduced},\n""",
       ",\n", "\n}\n")
     val sideBytes = side.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     java.nio.file.Files.write(java.nio.file.Paths.get(sidePath), sideBytes)
@@ -331,7 +378,7 @@ object Bench {
     val qs = results
       .map { q => "\"" + q.name + "\":" + (if (q.runs > 0) r3(q.min) else "-1") }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(totalMedian)},"unit":"sec","sf":"$sfDir","action":"noop-write,round-robin attempts,median-of-3 total,min-of-3 per query","total_min":${r3(totalMin)},"index_build":${r3(indexBuild)},"prewarm_phases":$prewarmPhasesJson,"cache_probe":$cacheProbeJson,"prewarm_ok":$prewarmOk,"n_queries":${results.size},"probe_floor_ms":${r3(probeFloor)},"steal_probes":$stealProbes,"par_probe_ms":[${r3(parProbeStartMs)},${r3(parProbeEndMs)}],"errors":$errors,"reduced_sample":$reduced,"side_file":"$sidePath","round":"$roundTag","queries":$qs}""")
+    println(s"""{"metric":"total","value":${r3(totalMedian)},"unit":"sec","sf":"$sfDir","action":"noop-write,round-robin attempts,median-of-3 total,min-of-3 per query","total_min":${r3(totalMin)},"index_build":${r3(indexBuild)},"prewarm_phases":$prewarmPhasesJson,"cache_probe":$cacheProbeJson,"prewarm_ok":$prewarmOk,"n_queries":${results.size},"probe_floor_ms":${r3(probeFloor)},"steal_probes":$stealProbes,"par_probe_ms":[${r3(parProbeStartMs)},${r3(parProbeEndMs)}],"mem_probe_ms":[${r3(memProbeStartMs)},${r3(memProbeEndMs)}],"errors":$errors,"reduced_sample":$reduced,"side_file":"$sidePath","round":"$roundTag","queries":$qs}""")
     // Short summary repeated LAST: if the record above ever outgrows
     // the driver's tail window again, the totals still land intact.
     println(s"""{"metric":"total","value":${r3(totalMedian)},"unit":"sec","sf":"$sfDir","total_min":${r3(totalMin)},"index_build":${r3(indexBuild)},"prewarm_ok":$prewarmOk,"n_queries":${results.size},"probe_floor_ms":${r3(probeFloor)},"steal_probes":$stealProbes,"errors":$errors,"side_file":"$sidePath"}""")

@@ -293,12 +293,91 @@ object VendasMart {
         .agg(approx_count_distinct("user_id")).head().getLong(0))
   }
 
+  /** The dimension-side twin of the pivot ladder (r12, closing the
+    * sf30 frontier the pivot fix exposed). Catalyst's STATIC broadcast
+    * decision for part/customer runs on a pruned-size estimate
+    * (file bytes × pruned-column ratio) against the 10 MB default —
+    * which holds through sf10 but flips customer to a sort-merge join
+    * at sf30 (est ~14 MB), re-introducing the exact pathology the
+    * pivot ladder removed: a re-shuffle + sort of the WIDE fact frame
+    * against a dimension that measures a few hundred MB as a hash
+    * relation. The library again carries the decision where the
+    * knowledge lives: these dims are one fixed-width row per key
+    * ([[DimRowBytes]], calibrated against the measured sf10 broadcast
+    * — customer's BroadcastExchange dataSz 146.2 MB / 1.5 M rows
+    * ≈ 97 B/row), a memoized metadata-only count bounds the relation
+    * exactly, and the dim broadcasts iff the bound fits
+    * [[DimBroadcastMaxBytes]]. The budget is wider than the pivot's
+    * (512 MB vs 256 MB) because a plain dimension's bound is a COUNT,
+    * not an approx-distinct estimate — no sketch error margin to
+    * absorb.
+    *
+    * Past the broadcast budget the ladder does NOT fall straight to a
+    * sort-merge join: a dimension that outgrows per-executor broadcast
+    * but still hashes per PARTITION gets a `SHUFFLE_HASH` hint
+    * ([[DimShuffleHashMaxBytes]]). The asymmetry is the whole point —
+    * SMJ's cost at this shape is the SORT of the enormous fact frame
+    * (the sf10 spill diagnosis all over again), while shuffled-hash
+    * pays the same exchange but builds its hash on the dimension side
+    * only: at sf30, part is 6 M rows ≈ 576 MB — over broadcast, yet
+    * ~18 MB per shuffle partition as a build side, trivially
+    * memory-resident. The budget is per-PARTITION build feasibility
+    * (bytes / shuffle partitions ≲ execution-memory share, with AQE
+    * free to split further on a real cluster); only a dimension so
+    * large that even its partitioned hash build would thrash — i.e.
+    * genuinely fact-sized, where sort-spill robustness is the right
+    * tool — falls through to SMJ. At 100 TB: customer in the billions
+    * (hundreds of GB) → SMJ by design; customer in the tens of
+    * millions (a few GB) → SHJ; anything under half a GB → broadcast.
+    */
+  val DimRowBytes: Long = 96L
+  val DimBroadcastMaxBytes: Long = 512L << 20
+  val DimShuffleHashMaxBytes: Long = 8L << 30
+
+  private val dimCountCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Long]
+  def dimCount(spark: SparkSession, sfDir: String, dim: String): Long = {
+    dimCountCache.keySet.foreach { k =>
+      if (k._1.sparkContext.isStopped) dimCountCache.remove(k)
+    }
+    dimCountCache.getOrElseUpdate((spark, sfDir, dim), dim match {
+      case "part"     => Tables.part(spark, sfDir).count()
+      case "customer" => Tables.customer(spark, sfDir).count()
+      case other => throw new IllegalArgumentException(s"unknown dim: $other")
+    })
+  }
+
+  /** Force-materialize the mart's join-strategy statistics (pivot user
+    * estimate + dim counts) so Bench's prewarm charges them to
+    * index_build alongside the dedup indexes they behave like.
+    */
+  def martJoinStats(spark: SparkSession, sfDir: String): Unit = {
+    pivotUserEstimate(spark, sfDir)
+    dimCount(spark, sfDir, "part")
+    dimCount(spark, sfDir, "customer")
+  }
+
   private def martFrom(spark: SparkSession, sfDir: String,
       li: DataFrame, ord: DataFrame): DataFrame = {
-    val prt = Tables.part(spark, sfDir)
-      .select("p_partkey", "p_type")
-    val cst = Tables.customer(spark, sfDir)
-      .select("c_custkey", "c_mktsegment", "c_nationkey")
+    // Dim ladder (see [[DimRowBytes]]): "auto" walks broadcast →
+    // shuffled-hash → sort-merge on the counted bound; "on"/"off"/
+    // "shj" pin a regime for A/Bs.
+    def dimLadder(dim: String, df: DataFrame): DataFrame =
+      spark.conf.getOption("spark.graft.mart.dimBroadcast")
+        .getOrElse("auto") match {
+        case "on"  => broadcast(df)
+        case "off" => df
+        case "shj" => df.hint("SHUFFLE_HASH")
+        case _ =>
+          val bytes = dimCount(spark, sfDir, dim) * DimRowBytes
+          if (bytes <= DimBroadcastMaxBytes) broadcast(df)
+          else if (bytes <= DimShuffleHashMaxBytes) df.hint("SHUFFLE_HASH")
+          else df
+      }
+    val prt = dimLadder("part", Tables.part(spark, sfDir)
+      .select("p_partkey", "p_type"))
+    val cst = dimLadder("customer", Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_mktsegment", "c_nationkey"))
     val evpRaw = eventsPivot(spark, sfDir)
     // Session conf for the ladder, mirroring Spark's own tuning-conf
     // idiom: "auto" (default) applies the measured user-count bound

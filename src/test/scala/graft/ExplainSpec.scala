@@ -39,6 +39,47 @@ class ExplainSpec extends SparkSpec {
       "mart must not globally sort its output")
   }
 
+  test("mart join ladders broadcast by measured bound, not planner estimate") {
+    // With BOTH broadcast thresholds disabled the planner's own
+    // estimate-driven broadcasts are off the table; the ladders'
+    // explicit hints (pivot user-count bound, dim row-count bound)
+    // must still produce an all-broadcast star. Switching the ladders
+    // off must surface the sort-merge joins the hints were masking —
+    // proving the hints, not the estimates, carry the plan.
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.get(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try {
+      def smjNodes(p: String): Int = "SortMergeJoin".r.findAllIn(p).size
+      def bhjNodes(p: String): Int = "BroadcastHashJoin".r.findAllIn(p).size
+      val laddered = planOf(VendasMart.mart(spark, sf))
+      // Three laddered joins broadcast; only the unladdered fact-fact
+      // li⟕ord join may sort-merge here.
+      assert(bhjNodes(laddered) >= 3, laddered.take(800))
+
+      spark.conf.set("spark.graft.mart.pivotBroadcast", "off")
+      spark.conf.set("spark.graft.mart.dimBroadcast", "off")
+      val unhinted = planOf(VendasMart.mart(spark, sf))
+      assert(bhjNodes(unhinted) == 0,
+        "with ladders off and thresholds -1, nothing may broadcast")
+      assert(smjNodes(unhinted) > smjNodes(laddered),
+        s"ladders off must surface SMJs: ${smjNodes(unhinted)} vs ${smjNodes(laddered)}")
+
+      // Middle rung: a dim past broadcast but under the hash-build
+      // budget must shuffled-hash, not sort-merge — the regime sf30's
+      // part dimension lands in under "auto".
+      spark.conf.set("spark.graft.mart.dimBroadcast", "shj")
+      val shj = planOf(VendasMart.mart(spark, sf))
+      assert("ShuffledHashJoin".r.findAllIn(shj).size >= 2,
+        "shj rung must plan ShuffledHashJoin for both dims: " + shj.take(800))
+    } finally {
+      saved.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.conf.unset("spark.graft.mart.pivotBroadcast")
+      spark.conf.unset("spark.graft.mart.dimBroadcast")
+    }
+  }
+
   test("pivot carries the explicit value list (no distinct-discovery job)") {
     // With explicit pivot values the plan is a single aggregate chain;
     // Spark's value-discovery variant would have run a separate job by
