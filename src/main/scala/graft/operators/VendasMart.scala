@@ -113,13 +113,19 @@ object VendasMart {
     * catalog entry (see [[bucketedSilver]]). Default-database managed
     * tables live at `<warehouse.dir>/<name lowercase>`.
     */
-  private def clearStaleLocation(spark: SparkSession, table: String): Unit = {
-    if (!spark.catalog.tableExists(table)) {
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-      val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(path)) fs.delete(path, true)
-    }
+  private def clearStaleLocation(spark: SparkSession, table: String): Unit =
+    if (!spark.catalog.tableExists(table)) dropLocation(spark, table)
+
+  /** Unconditionally delete a table's default warehouse location —
+    * the rebuild-path companion to a `DROP TABLE IF EXISTS` (dropping
+    * an EXTERNAL table leaves its files; the subsequent managed CTAS
+    * into the non-empty location would throw).
+    */
+  private def dropLocation(spark: SparkSession, table: String): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
   }
 
   /** The mart over a bucketed silver layout (see [[bucketedSilver]]):
@@ -152,6 +158,10 @@ object VendasMart {
     */
   private val silverCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+  /** Test hook: forget memoized layouts so a spec can exercise the
+    * re-register / rebuild paths within one JVM.
+    */
+  private[graft] def resetSilverCache(): Unit = silverCache.clear()
   def ensureBucketedSilver(spark: SparkSession, sfDir: String): (String, String) = {
     silverCache.keySet.foreach { k =>
       if (k._1.sparkContext.isStopped) silverCache.remove(k)
@@ -168,12 +178,29 @@ object VendasMart {
         reRegisterSilver(spark, sfDir, li, "l_orderkey", liSrc.schema) &&
         reRegisterSilver(spark, sfDir, ord, "o_orderkey", ordSrc.schema)
       if (!reused) {
+        // The reuse attempt may have half-succeeded (lineitem
+        // re-registered as an EXTERNAL table, orders refused — e.g. a
+        // prior session died between the two stamp writes). Rebuilding
+        // through that state breaks: saveAsTable(Overwrite) DROPS an
+        // external table but leaves its files, and the managed CTAS
+        // into the non-empty warehouse location then throws. So the
+        // rebuild path first drops BOTH names from the catalog and
+        // deletes BOTH warehouse locations unconditionally.
+        Seq(li, ord).foreach { t =>
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          dropLocation(spark, t)
+        }
+        // Fingerprint the source corpus BEFORE the build reads it: a
+        // corpus regenerated between the build's read and a post-build
+        // listing would stamp the NEW listing onto buckets built from
+        // the OLD data — the exact staleness the stamp exists to catch.
+        val src = sourceStamp(spark, sfDir)
         bucketedSilver(spark, sfDir, SilverBuckets, li, ord)
         // Stamp only on a fresh build: re-stamping on the reuse path
         // would re-date a layout built from an OLDER corpus if the
         // source were regenerated mid-session.
-        stampSilver(spark, sfDir, li)
-        stampSilver(spark, sfDir, ord)
+        stampSilverWith(spark, li, src)
+        stampSilverWith(spark, ord, src)
       }
       (li, ord)
     })
@@ -213,10 +240,19 @@ object VendasMart {
     val stamp = new org.apache.hadoop.fs.Path(path, "_graft_src_stamp")
     if (!fs.exists(path) || !fs.exists(stamp)) return false
     val recorded =
-      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(
-        fs.open(stamp)), java.nio.charset.StandardCharsets.UTF_8)
-      catch { case _: Throwable => return false }
-    if (recorded != sourceStamp(spark, sfDir)) return false
+      try {
+        val in = fs.open(stamp)
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      } catch { case _: Throwable => return false }
+    // The stamp records BOTH sides of the contract: the source corpus
+    // it was built from AND the layout's own bucket-file count. The
+    // second check catches a directory whose stamp survived but whose
+    // bucket files were partially deleted — Spark would silently scan
+    // whatever files remain and return fewer rows.
+    if (recorded != s"${sourceStamp(spark, sfDir)}\n${layoutLine(fs, path)}")
+      return false
     spark.sql(
       s"""CREATE TABLE $table (${schema.toDDL}) USING PARQUET
          |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
@@ -246,12 +282,32 @@ object VendasMart {
     }).mkString("\n")
   }
 
-  private[graft] def stampSilver(spark: SparkSession, sfDir: String, table: String): Unit = {
+  /** The layout's own fingerprint line: count of data files directly
+    * under the table directory (bucket part-files; `_`/`.`-prefixed
+    * metadata excluded). Recorded at stamp time and re-checked at
+    * re-register so a partially-deleted layout never silently reuses.
+    */
+  private def layoutLine(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): String = {
+    val n = fs.listStatus(path).count { s =>
+      val name = s.getPath.getName
+      s.isFile && !name.startsWith("_") && !name.startsWith(".")
+    }
+    s"layoutFiles=$n"
+  }
+
+  private[graft] def stampSilver(spark: SparkSession, sfDir: String, table: String): Unit =
+    stampSilverWith(spark, table, sourceStamp(spark, sfDir))
+
+  /** Stamp a freshly-built layout with a PRE-BUILD source fingerprint
+    * (see [[ensureBucketedSilver]]) plus the layout's own file count.
+    */
+  private[graft] def stampSilverWith(spark: SparkSession, table: String, src: String): Unit = {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new org.apache.hadoop.fs.Path(path, "_graft_src_stamp"), true)
-    try out.write(sourceStamp(spark, sfDir)
+    try out.write(s"$src\n${layoutLine(fs, path)}"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }

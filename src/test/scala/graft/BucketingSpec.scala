@@ -155,6 +155,8 @@ class BucketingSpec extends SparkSpec {
         fs, loc("t_reuse_orphan"), false, conf)
       org.apache.hadoop.fs.FileUtil.copy(fs, loc("t_reuse_src"),
         fs, loc("t_reuse_stale"), false, conf)
+      org.apache.hadoop.fs.FileUtil.copy(fs, loc("t_reuse_src"),
+        fs, loc("t_reuse_partial"), false, conf)
 
       // Matching stamp -> re-registered, same rows, bucket spec intact.
       assert(operators.VendasMart.reRegisterSilver(spark, sfDir,
@@ -175,11 +177,49 @@ class BucketingSpec extends SparkSpec {
       assert(!operators.VendasMart.reRegisterSilver(spark, sfDir,
         "t_reuse_stale", "l_orderkey", liSrc.schema))
       assert(!spark.catalog.tableExists("t_reuse_stale"))
+
+      // Partially-deleted layout (stamp intact, a bucket file gone) ->
+      // refused: Spark would otherwise scan the surviving files and
+      // silently return fewer rows.
+      val victim = fs.listStatus(loc("t_reuse_partial")).collectFirst {
+        case s if s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".") => s.getPath
+      }.get
+      fs.delete(victim, false)
+      assert(!operators.VendasMart.reRegisterSilver(spark, sfDir,
+        "t_reuse_partial", "l_orderkey", liSrc.schema))
+      assert(!spark.catalog.tableExists("t_reuse_partial"))
     } finally {
       spark.sql("DROP TABLE IF EXISTS t_reuse_src")
       spark.sql("DROP TABLE IF EXISTS t_reuse_orphan") // external: files remain
-      Seq("t_reuse_orphan", "t_reuse_stale").foreach(t =>
+      Seq("t_reuse_orphan", "t_reuse_stale", "t_reuse_partial").foreach(t =>
         if (fs.exists(loc(t))) fs.delete(loc(t), true))
     }
+  }
+
+  test("a half-re-registered layout rebuilds cleanly instead of failing the CTAS") {
+    // Prior-session crash between the two stamp writes: lineitem's
+    // layout re-registers (EXTERNAL table) but orders' refuses, so
+    // ensureBucketedSilver must rebuild BOTH — dropping the external
+    // table alone would leave its files and the managed CTAS into the
+    // non-empty warehouse location would throw.
+    val sfDir = "/root/testdata/sf0.001"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(conf)
+    operators.VendasMart.resetSilverCache()
+    val (li, ord) = operators.VendasMart.ensureBucketedSilver(spark, sfDir)
+    val expected = spark.table(li).count()
+    // Simulate the crashed session: catalog forgets both tables, and
+    // orders' stamp never landed.
+    spark.sql(s"DROP TABLE IF EXISTS $li")
+    spark.sql(s"DROP TABLE IF EXISTS $ord")
+    fs.delete(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(wh, ord.toLowerCase), "_graft_src_stamp"), false)
+    operators.VendasMart.resetSilverCache()
+    val (li2, ord2) = operators.VendasMart.ensureBucketedSilver(spark, sfDir)
+    assert((li2, ord2) == (li, ord))
+    assert(spark.catalog.tableExists(li2) && spark.catalog.tableExists(ord2))
+    assert(spark.table(li2).count() == expected)
   }
 }
