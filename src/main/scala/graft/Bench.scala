@@ -293,7 +293,16 @@ object Bench {
     val samples = Array.fill(named.size)(
       Vector.empty[(Double, (Long, Long, Long, Long))])
     val probes = Array.fill(named.size)(Vector.empty[Double])
-    for (attempt <- 1 to nAttempts; ((name, fn), qi) <- named.zipWithIndex) {
+    // Whole-machine sentinels are sampled BETWEEN attempt waves, not
+    // just at the sweep's ends: a long leg (sf10 runs ~an hour) can
+    // enter and exit a bandwidth episode mid-sweep with both end
+    // probes reading quiet — the r12 contamination was only provable
+    // afterwards by a judge-side byte diff. nAttempts+1 readings bound
+    // every wave on both sides.
+    var parProbeWaves = Vector(parProbeStartMs)
+    var memProbeWaves = Vector(memProbeStartMs)
+    for (attempt <- 1 to nAttempts) {
+      for (((name, fn), qi) <- named.zipWithIndex) {
       probes(qi) :+= spinProbeMs()
       // One listener window PER ATTEMPT (reset → run → drain →
       // snapshot), and only SUCCESSFUL attempts contribute bytes: a
@@ -317,9 +326,12 @@ object Bench {
         try { spark.sparkContext.cancelAllJobs(); drain() }
         catch { case _: Throwable => () }
       }
+      }
+      parProbeWaves :+= parProbeMin3()
+      memProbeWaves :+= memProbeMin3()
     }
-    val parProbeEndMs = parProbeMin3()
-    val memProbeEndMs = memProbeMin3()
+    val parProbeEndMs = parProbeWaves.last
+    val memProbeEndMs = memProbeWaves.last
     val results = named.zipWithIndex.map { case ((name, _), qi) =>
       val attempts = samples(qi)
       val ts = attempts.map(_._1).sorted
@@ -348,6 +360,8 @@ object Bench {
     // Steal-sentinel summary: the global probe floor is the quiet-host
     // baseline for this run; `steal_probes` counts probes above 2x the
     // floor (evidence of contention windows during the run).
+    val parProbesJson = parProbeWaves.map(r3).mkString("[", ", ", "]")
+    val memProbesJson = memProbeWaves.map(r3).mkString("[", ", ", "]")
     val allProbes = probes.toSeq.flatten.sorted
     val probeFloor = allProbes.headOption.getOrElse(-1.0)
     val probeMedian =
@@ -361,7 +375,7 @@ object Bench {
       val pr = q.probesMs.map(r3).mkString("[", ",", "]")
       s"""  "${q.name}": {"min_s": ${r3(q.min)}, "median_s": ${r3(q.median)}, "runs": ${q.runs}, "shuffle_write_mb": ${r3(q.shuffleWriteMb)}, "shuffle_read_mb": ${r3(q.shuffleReadMb)}, "spill_mb": ${r3(q.spillMb)}, "probe_ms": $pr}"""
     }.mkString(
-      s"""{\n  "_meta": {"round": "$roundTag", "sf": "$sfDir", "cpus": $cpus, "init_partitions": $initPartitions, "action": "noop-write", "attempt_order": "round-robin", "index_build_s": ${r3(indexBuild)}, "prewarm_ok": $prewarmOk, "prewarm_phases_s": $prewarmPhasesJson, "cache_probe": $cacheProbeJson, "total_median_s": ${r3(totalMedian)}, "total_min_s": ${r3(totalMin)}, "n_queries": ${results.size}, "probe_floor_ms": ${r3(probeFloor)}, "probe_median_ms": ${r3(probeMedian)}, "probe_max_ms": ${r3(probeMax)}, "steal_probes": $stealProbes, "n_probes": ${allProbes.size}, "par_probe_ms": [${r3(parProbeStartMs)}, ${r3(parProbeEndMs)}], "mem_probe_ms": [${r3(memProbeStartMs)}, ${r3(memProbeEndMs)}], "mem_probe_mb_per_thread": 48, "par_probe_threads": ${Runtime.getRuntime.availableProcessors()}, "errors": $errors, "reduced_sample": $reduced},\n""",
+      s"""{\n  "_meta": {"round": "$roundTag", "sf": "$sfDir", "cpus": $cpus, "init_partitions": $initPartitions, "action": "noop-write", "attempt_order": "round-robin", "index_build_s": ${r3(indexBuild)}, "prewarm_ok": $prewarmOk, "prewarm_phases_s": $prewarmPhasesJson, "cache_probe": $cacheProbeJson, "total_median_s": ${r3(totalMedian)}, "total_min_s": ${r3(totalMin)}, "n_queries": ${results.size}, "probe_floor_ms": ${r3(probeFloor)}, "probe_median_ms": ${r3(probeMedian)}, "probe_max_ms": ${r3(probeMax)}, "steal_probes": $stealProbes, "n_probes": ${allProbes.size}, "par_probe_ms": $parProbesJson, "mem_probe_ms": $memProbesJson, "mem_probe_mb_per_thread": 48, "par_probe_threads": ${Runtime.getRuntime.availableProcessors()}, "errors": $errors, "reduced_sample": $reduced},\n""",
       ",\n", "\n}\n")
     val sideBytes = side.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     java.nio.file.Files.write(java.nio.file.Paths.get(sidePath), sideBytes)
@@ -378,7 +392,7 @@ object Bench {
     val qs = results
       .map { q => "\"" + q.name + "\":" + (if (q.runs > 0) r3(q.min) else "-1") }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(totalMedian)},"unit":"sec","sf":"$sfDir","action":"noop-write,round-robin attempts,median-of-3 total,min-of-3 per query","total_min":${r3(totalMin)},"index_build":${r3(indexBuild)},"prewarm_phases":$prewarmPhasesJson,"cache_probe":$cacheProbeJson,"prewarm_ok":$prewarmOk,"n_queries":${results.size},"probe_floor_ms":${r3(probeFloor)},"steal_probes":$stealProbes,"par_probe_ms":[${r3(parProbeStartMs)},${r3(parProbeEndMs)}],"mem_probe_ms":[${r3(memProbeStartMs)},${r3(memProbeEndMs)}],"errors":$errors,"reduced_sample":$reduced,"side_file":"$sidePath","round":"$roundTag","queries":$qs}""")
+    println(s"""{"metric":"total","value":${r3(totalMedian)},"unit":"sec","sf":"$sfDir","action":"noop-write,round-robin attempts,median-of-3 total,min-of-3 per query","total_min":${r3(totalMin)},"index_build":${r3(indexBuild)},"prewarm_phases":$prewarmPhasesJson,"cache_probe":$cacheProbeJson,"prewarm_ok":$prewarmOk,"n_queries":${results.size},"probe_floor_ms":${r3(probeFloor)},"steal_probes":$stealProbes,"par_probe_ms":$parProbesJson,"mem_probe_ms":$memProbesJson,"errors":$errors,"reduced_sample":$reduced,"side_file":"$sidePath","round":"$roundTag","queries":$qs}""")
     // Short summary repeated LAST: if the record above ever outgrows
     // the driver's tail window again, the totals still land intact.
     println(s"""{"metric":"total","value":${r3(totalMedian)},"unit":"sec","sf":"$sfDir","total_min":${r3(totalMin)},"index_build":${r3(indexBuild)},"prewarm_ok":$prewarmOk,"n_queries":${results.size},"probe_floor_ms":${r3(probeFloor)},"steal_probes":$stealProbes,"errors":$errors,"side_file":"$sidePath"}""")
