@@ -56,6 +56,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
+    // Dev A/B knob mirroring SpillProfile's: override the session's
+    // AQE broadcast threshold so a bench subset can isolate a
+    // threshold-driven plan flip under the exact harness that produced
+    // the committed legs. This is how the r13 48m-vs-default jaccard
+    // A/B was taken (see GraftSession's threshold scaladoc).
+    sys.env.get("SPARK_GRAFT_AQE_BROADCAST").foreach(v =>
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v))
     spark.sparkContext.setLogLevel("WARN")
     val metrics = new tools.StageMetricsListener
     spark.sparkContext.addSparkListener(metrics)

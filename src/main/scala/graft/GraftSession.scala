@@ -32,22 +32,23 @@ object GraftSession {
       // re-sorts every bucket on every mart build, forfeiting half the
       // layout's win. Harmless for non-bucketed reads.
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-      // Runtime (AQE) broadcast threshold, raised above the 10 MB
-      // static default. The static threshold guards against broadcasts
-      // planned from ESTIMATES (a wrong estimate OOMs the driver); the
-      // adaptive one applies to MEASURED stage outputs, where Spark's
-      // own guidance is that a higher bound is safe. The motivating
-      // plan is the sf10 vendas_mart: the events-pivot side shuffles
-      // 12 MB (150 k users x 6 cols) — just past 10 MB — so AQE kept a
-      // sort-merge join whose fact-side Sort of 60 M rows spilled
-      // 6.4 GB disk under the 8 GiB harness; at 48 MB the measured
-      // 12 MB side broadcasts and the sort disappears. Sizing: a 48 MB
-      // compressed stage inflates to a ~200 MB hash relation, well
-      // inside an 8 GiB executor — and a pivot side that genuinely
-      // outgrows the bound at 100 TB (e.g. 100 M users ~ 5 GB) is
-      // MEASURED over it, so AQE falls back to the SMJ by itself;
-      // nothing is hand-scheduled on a guess.
-      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "48m")
+      // The AQE broadcast threshold stays at Spark's default. A raised
+      // 48 MB bound shipped briefly to fix the sf10 mart pivot spill,
+      // but the mart now pins its pivot and dimension joins with
+      // explicit broadcast/SHUFFLE_HASH hints sized from counted
+      // bounds (VendasMart), so the global raise had exactly one
+      // remaining effect in the whole 83-query registry: it flipped a
+      // ~40 MB measured stage inside q_dedup_jaccard's prefix-filter
+      // join to a broadcast-hash join (shuffle 15,059→14,574 MB) that
+      // is SLOWER — the single-process hash relation inflates to
+      // ~200 MB and every probe thread contends on it, losing the
+      // sort-merge join's streaming locality. Isolated same-window A/B
+      // at sf10/local[32]: SMJ min 51.5 s / median 55.9 s vs BHJ
+      // 58.1 s / 70.0 s (3 runs each, probe floors 70/75 ms, mem
+      // probes quiet; tools/run_bench.sh with SPARK_GRAFT_AQE_BROADCAST
+      // isolating the conf). Lesson recorded in SCALE.md: a measured
+      // broadcast is safe against OOM but not automatically faster —
+      // raise the bound only per-plan, with hints, from an A/B.
 
   /** Idempotent guard for sessions built OUTSIDE the library's entry
     * points (the driver smoke-checks `SparkEntry.entry` with its own

@@ -48,7 +48,10 @@ class ExplainSpec extends SparkSpec {
     // proving the hints, not the estimates, carry the plan.
     val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold")
-    val saved = keys.map(k => k -> spark.conf.get(k))
+    // getOption: the adaptive threshold is UNSET at HEAD (the global
+    // 48m raise was removed in r13 — see GraftSession), so restore
+    // must unset rather than set(null).
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
     keys.foreach(spark.conf.set(_, "-1"))
     try {
       def smjNodes(p: String): Int = "SortMergeJoin".r.findAllIn(p).size
@@ -74,7 +77,10 @@ class ExplainSpec extends SparkSpec {
       assert("ShuffledHashJoin".r.findAllIn(shj).size >= 2,
         "shj rung must plan ShuffledHashJoin for both dims: " + shj.take(800))
     } finally {
-      saved.foreach { case (k, v) => spark.conf.set(k, v) }
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
       spark.conf.unset("spark.graft.mart.pivotBroadcast")
       spark.conf.unset("spark.graft.mart.dimBroadcast")
     }
