@@ -292,7 +292,13 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val nAttempts = 3
+    // Dev knob: attempt waves per query (default 3). A very large
+    // rung (sf30+: a full 3-wave sweep runs multiple hours) can trade
+    // min-of-3 robustness for feasibility; the leg's _meta records
+    // n_probes/runs so a reduced-wave leg is self-describing, and the
+    // gate compares like with like only when floors AND wave counts
+    // match or the difference is adjudicated.
+    val nAttempts = sys.env.get("SPARK_GRAFT_ATTEMPTS").map(_.toInt).getOrElse(3)
     // samples(qi): successful (seconds, metrics-snapshot) attempts;
     // probes(qi): the sentinel timing taken right before each attempt
     // (recorded for failed attempts too — the probe is evidence about
@@ -346,9 +352,34 @@ object Bench {
       // share one old-gen across queries — each executor JVM collects
       // independently — so the drag is a local[32] harness artifact,
       // not an engine cost; the GC runs OUTSIDE the timed window and
-      // each attempt still executes its full plan.
-      System.gc()
-      Thread.sleep(250)
+      // each attempt still executes its full plan. CONDITIONAL on a
+      // heavy attempt (>5 s): only heavy queries leave broadcast/spill
+      // garbage worth collecting, and an unconditional collection
+      // taxed every tiny attempt ~65 ms of post-GC warmup — a 19%
+      // total_min inflation at sf0.1 (measured, r13) for zero drag
+      // benefit there.
+      if ((System.nanoTime() - t0) / 1e9 > 5.0) {
+        System.gc()
+        // Flush dirty page cache between heavy attempts, also outside
+        // the timed window. Shuffle/spill writes are buffered: one
+        // q_dedup_jaccard attempt at sf10 dirties ~19 GB (measured via
+        // /proc/meminfo), crossing vm.dirty_background_ratio (12.5 GB
+        // here) on its own — and with any co-runner residue the NEXT
+        // attempt starts near the vm.dirty_ratio hard limit (25 GB),
+        // where the kernel throttles the writer to device speed
+        // mid-attempt. Measured at sf10: isolated attempts with a
+        // clean cache read 37.5-55 s while in-sweep attempts read
+        // 85-95 s on byte-identical plans (jacc_iso6 vs the full-sweep
+        // legs, r13). Executors on a real cluster write shuffle to
+        // their OWN local disks with per-node writeback budgets; a
+        // shared single-/tmp harness couples queries through the page
+        // cache, so the flush is decorrelation, not a discount — each
+        // attempt still pays its own writeback above the background
+        // threshold.
+        try new ProcessBuilder("sync").start().waitFor()
+        catch { case _: Throwable => () }
+        Thread.sleep(250)
+      }
       }
       parProbeWaves :+= parProbeMin3()
       memProbeWaves :+= memProbeMin3()
