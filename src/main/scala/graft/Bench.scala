@@ -324,12 +324,14 @@ object Bench {
       // inflate the per-run shuffle/spill volumes.
       drain(); metrics.reset()
       val t0 = System.nanoTime()
+      var attemptFailed = false
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         drain()
         samples(qi) :+= ((dt, metrics.snapshot()))
       } catch { case e: Throwable =>
+        attemptFailed = true
         System.err.println(s"[bench] $name attempt $attempt failed: $e")
         // A failed job can leave tasks in flight whose task-end events
         // would bleed bytes into the NEXT attempt's listener window
@@ -357,8 +359,15 @@ object Bench {
       // garbage worth collecting, and an unconditional collection
       // taxed every tiny attempt ~65 ms of post-GC warmup — a 19%
       // total_min inflation at sf0.1 (measured, r13) for zero drag
-      // benefit there.
-      if ((System.nanoTime() - t0) / 1e9 > 5.0) {
+      // benefit there. The gate also fires on bytes (shuffle write +
+      // spill > 1 GB from the attempt's own listener window) and on
+      // ANY failed attempt: a heavy query that dies quickly still
+      // dirties gigabytes of page cache and leaves broadcast garbage —
+      // exactly the residue this block exists to remove — and wall
+      // time alone would wave it through (ADVICE r13).
+      val dirtiedBytes = { val m = metrics.snapshot(); m._1 + m._3 + m._4 }
+      if ((System.nanoTime() - t0) / 1e9 > 5.0 || attemptFailed ||
+          dirtiedBytes > (1L << 30)) {
         System.gc()
         // Flush dirty page cache between heavy attempts, also outside
         // the timed window. Shuffle/spill writes are buffered: one
@@ -407,7 +416,7 @@ object Bench {
     val ok = results.filter(_.runs > 0)
     val errors = results.collect { case q if q.runs == 0 => s"\"${q.name}\"" }
       .mkString("[", ",", "]")
-    val reduced = results.collect { case q if q.runs > 0 && q.runs < 3 => s"\"${q.name}\"" }
+    val reduced = results.collect { case q if q.runs > 0 && q.runs < nAttempts => s"\"${q.name}\"" }
       .mkString("[", ",", "]")
     val totalMedian = ok.map(_.median).sum
     val totalMin = ok.map(_.min).sum
@@ -429,7 +438,7 @@ object Bench {
       val pr = q.probesMs.map(r3).mkString("[", ",", "]")
       s"""  "${q.name}": {"min_s": ${r3(q.min)}, "median_s": ${r3(q.median)}, "runs": ${q.runs}, "shuffle_write_mb": ${r3(q.shuffleWriteMb)}, "shuffle_read_mb": ${r3(q.shuffleReadMb)}, "spill_mb": ${r3(q.spillMb)}, "probe_ms": $pr}"""
     }.mkString(
-      s"""{\n  "_meta": {"round": "$roundTag", "sf": "$sfDir", "cpus": $cpus, "init_partitions": $initPartitions, "action": "noop-write", "attempt_order": "round-robin", "index_build_s": ${r3(indexBuild)}, "prewarm_ok": $prewarmOk, "prewarm_phases_s": $prewarmPhasesJson, "cache_probe": $cacheProbeJson, "total_median_s": ${r3(totalMedian)}, "total_min_s": ${r3(totalMin)}, "n_queries": ${results.size}, "probe_floor_ms": ${r3(probeFloor)}, "probe_median_ms": ${r3(probeMedian)}, "probe_max_ms": ${r3(probeMax)}, "steal_probes": $stealProbes, "n_probes": ${allProbes.size}, "par_probe_ms": $parProbesJson, "mem_probe_ms": $memProbesJson, "mem_probe_mb_per_thread": 48, "par_probe_threads": ${Runtime.getRuntime.availableProcessors()}, "errors": $errors, "reduced_sample": $reduced},\n""",
+      s"""{\n  "_meta": {"round": "$roundTag", "sf": "$sfDir", "cpus": $cpus, "init_partitions": $initPartitions, "action": "noop-write", "attempt_order": "round-robin", "index_build_s": ${r3(indexBuild)}, "prewarm_ok": $prewarmOk, "prewarm_phases_s": $prewarmPhasesJson, "cache_probe": $cacheProbeJson, "total_median_s": ${r3(totalMedian)}, "total_min_s": ${r3(totalMin)}, "n_queries": ${results.size}, "probe_floor_ms": ${r3(probeFloor)}, "probe_median_ms": ${r3(probeMedian)}, "probe_max_ms": ${r3(probeMax)}, "steal_probes": $stealProbes, "n_probes": ${allProbes.size}, "par_probe_ms": $parProbesJson, "mem_probe_ms": $memProbesJson, "mem_probe_mb_per_thread": 48, "par_probe_threads": ${Runtime.getRuntime.availableProcessors()}, "attempts": $nAttempts, "errors": $errors, "reduced_sample": $reduced},\n""",
       ",\n", "\n}\n")
     val sideBytes = side.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     java.nio.file.Files.write(java.nio.file.Paths.get(sidePath), sideBytes)
@@ -446,7 +455,7 @@ object Bench {
     val qs = results
       .map { q => "\"" + q.name + "\":" + (if (q.runs > 0) r3(q.min) else "-1") }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(totalMedian)},"unit":"sec","sf":"$sfDir","action":"noop-write,round-robin attempts,median-of-3 total,min-of-3 per query","total_min":${r3(totalMin)},"index_build":${r3(indexBuild)},"prewarm_phases":$prewarmPhasesJson,"cache_probe":$cacheProbeJson,"prewarm_ok":$prewarmOk,"n_queries":${results.size},"probe_floor_ms":${r3(probeFloor)},"steal_probes":$stealProbes,"par_probe_ms":$parProbesJson,"mem_probe_ms":$memProbesJson,"errors":$errors,"reduced_sample":$reduced,"side_file":"$sidePath","round":"$roundTag","queries":$qs}""")
+    println(s"""{"metric":"total","value":${r3(totalMedian)},"unit":"sec","sf":"$sfDir","action":"noop-write,round-robin attempts,median-of-$nAttempts total,min-of-$nAttempts per query","total_min":${r3(totalMin)},"index_build":${r3(indexBuild)},"prewarm_phases":$prewarmPhasesJson,"cache_probe":$cacheProbeJson,"prewarm_ok":$prewarmOk,"n_queries":${results.size},"probe_floor_ms":${r3(probeFloor)},"steal_probes":$stealProbes,"par_probe_ms":$parProbesJson,"mem_probe_ms":$memProbesJson,"errors":$errors,"reduced_sample":$reduced,"side_file":"$sidePath","round":"$roundTag","queries":$qs}""")
     // Short summary repeated LAST: if the record above ever outgrows
     // the driver's tail window again, the totals still land intact.
     println(s"""{"metric":"total","value":${r3(totalMedian)},"unit":"sec","sf":"$sfDir","total_min":${r3(totalMin)},"index_build":${r3(indexBuild)},"prewarm_ok":$prewarmOk,"n_queries":${results.size},"probe_floor_ms":${r3(probeFloor)},"steal_probes":$stealProbes,"errors":$errors,"side_file":"$sidePath"}""")
