@@ -217,6 +217,16 @@ object Bench {
     }
     val (cacheColdS, cacheBytes) = sweepReadS()
     val (cacheWarmS, _) = sweepReadS()
+    // Dev-loop subset (parsed here because prewarm consults it; the
+    // query list itself is filtered below). A mart-only probe run
+    // (the dim-ladder A/Bs) must not pay the dedup index build — at
+    // sf30 that is ~10 min of prewarm per pinned regime for indexes
+    // no selected query reads — so each prewarm phase runs only when
+    // the subset (or a full sweep) contains a query that consumes it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def subsetNeeds(pred: String => Boolean): Boolean =
+      only.forall(_.exists(pred))
     // A failed prewarm must be LOUD: it silently reverts per-query
     // numbers to order-dependent (the first dedup query re-absorbs the
     // index build) — surface it on stderr and in the record.
@@ -224,23 +234,31 @@ object Bench {
     var prewarmPhases: Seq[(String, Double)] = Nil
     val prewarmOk =
       try {
-        prewarmPhases = operators.Dedup.prewarmTimed(spark, sfDir)
+        // Persisted dedup/similarity/text index frames: consumed by
+        // the dedup, sim, text, corpus, and pipeline families.
+        if (subsetNeeds(n => n.contains("dedup") || n.contains("sim_") ||
+            n.contains("text") || n.contains("corpus") || n.contains("pipeline")))
+          prewarmPhases = operators.Dedup.prewarmTimed(spark, sfDir)
         // The bucketed-silver layout is index_build work too: a one-time
         // re-organization every mart build amortizes, exactly like the
         // persisted dedup indexes — charging it here keeps
         // q_vendas_mart_bucketed's three timed runs measuring the mart,
         // not the layout write.
-        val tB0 = System.nanoTime()
-        operators.VendasMart.ensureBucketedSilver(spark, sfDir)
-        prewarmPhases :+= ("bucketed_silver" -> (System.nanoTime() - tB0) / 1e9)
+        if (subsetNeeds(_ == "q_vendas_mart_bucketed")) {
+          val tB0 = System.nanoTime()
+          operators.VendasMart.ensureBucketedSilver(spark, sfDir)
+          prewarmPhases :+= ("bucketed_silver" -> (System.nanoTime() - tB0) / 1e9)
+        }
         // The mart's join-strategy ladders read memoized statistics
         // (approx-distinct user count for the pivot, metadata counts
         // for part/customer) — one scan each, amortized across every
         // mart build exactly like the index frames, so charge them
         // here too.
-        val tU0 = System.nanoTime()
-        operators.VendasMart.martJoinStats(spark, sfDir)
-        prewarmPhases :+= ("mart_join_stats" -> (System.nanoTime() - tU0) / 1e9)
+        if (subsetNeeds(n => n.contains("vendas_mart"))) {
+          val tU0 = System.nanoTime()
+          operators.VendasMart.martJoinStats(spark, sfDir)
+          prewarmPhases :+= ("mart_join_stats" -> (System.nanoTime() - tU0) / 1e9)
+        }
         true
       }
       catch { case e: Throwable =>
@@ -284,12 +302,10 @@ object Bench {
     // re-executes the full plan — no result caching; only the
     // deliberately-persisted index frames above are warm, which is the
     // documented index-reuse behavior.
-    // Optional dev-loop subset (comma-separated query names): iterate
-    // on one query's plan without paying the full 82-query sweep.
+    // Optional dev-loop subset (parsed above, before prewarm):
+    // iterate on one query's plan without paying the full sweep.
     // Recorded legs (bench_sf*.json) are always full runs — a subset
     // run's totals are meaningless and its _meta.n_queries says so.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // Dev knob: attempt waves per query (default 3). A very large
