@@ -225,6 +225,7 @@ object Bench {
     // the subset (or a full sweep) contains a query that consumes it.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // set-but-empty ("") means no subset, not zero queries
     def subsetNeeds(pred: String => Boolean): Boolean =
       only.forall(_.exists(pred))
     // A failed prewarm must be LOUD: it silently reverts per-query

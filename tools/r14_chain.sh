@@ -11,10 +11,14 @@ set -uo pipefail
 cd "$(dirname "$0")/.."
 run() { # name sfdir side extra_java_opts [extra env...]
   local side=$1 sfdir=$2 only=$3 jopts=$4
+  local extra=()
+  # Only export a subset when one is requested: an exported-but-empty
+  # SPARK_GRAFT_BENCH_ONLY would select zero queries.
+  [ -n "$only" ] && extra+=("SPARK_GRAFT_BENCH_ONLY=$only")
   echo "=== $(date +%H:%M:%S) leg $side start" >&2
-  SPARK_GRAFT_SF_DIR="$sfdir" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ROUND=14 \
+  env SPARK_GRAFT_SF_DIR="$sfdir" SPARK_GRAFT_CPUS=32 SPARK_GRAFT_ROUND=14 \
   SPARK_GRAFT_ATTEMPTS=2 SPARK_GRAFT_BENCH_SIDE="$side" \
-  SPARK_GRAFT_BENCH_ONLY="$only" SPARK_GRAFT_JAVA_OPTS="$jopts" \
+  SPARK_GRAFT_JAVA_OPTS="$jopts" "${extra[@]}" \
   SPARK_DRIVER_MEM=8g tools/quiet_leg.sh \
     > "/tmp/leg_${side%.json}.log" 2>&1
   echo "=== $(date +%H:%M:%S) leg $side exit $?" >&2
