@@ -233,13 +233,62 @@ object Dedup {
     * holder is discarded UNBUILT, so no frame is ever persisted and
     * then orphaned (TrieMap.getOrElseUpdate evaluates its builder
     * non-atomically and could persist two).
+    *
+    * Storage level is a MEASURED ladder, not a constant (r15). The r14
+    * sf30 leg showed why: the index set outgrows the storage half of
+    * the unified memory pool there, and MEMORY_ONLY frames past that
+    * point are pure contention — execution memory is squeezed to its
+    * protected floor for EVERY query in the session (the sf30 leg's
+    * spill-onset signature) while the overflow blocks are silently
+    * dropped and recomputed. So each frame persists MEMORY_ONLY, is
+    * materialized eagerly, and is DEMOTED to DISK_ONLY if the
+    * session's total stored bytes then exceed [[indexStorageBudget]]
+    * (the protected-storage region — what the memory manager
+    * guarantees storage may keep without starving execution). The
+    * check reads actual post-build block sizes, so no per-frame size
+    * estimate can drift. DISK_ONLY is the local analogue of the
+    * documented 100 TB posture — the index as a persisted table next
+    * to the corpus, served through the OS page cache (evictable under
+    * pressure) instead of pinned heap.
     */
   private final class IndexHolder(build: () => DataFrame, persistFrame: Boolean) {
     lazy val df: DataFrame = {
       val d = build()
-      if (persistFrame) d.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      if (persistFrame) {
+        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        d.count()
+        // Heap bytes only: frames already demoted to disk must not
+        // keep consuming the budget, or one oversized frame would
+        // cascade-demote every small frame built after it.
+        val sc = d.sparkSession.sparkContext
+        val stored = sc.getRDDStorageInfo.map(_.memSize).sum
+        if (stored > indexStorageBudget(d.sparkSession)) {
+          d.unpersist(blocking = true)
+          d.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          d.count()
+        }
+      }
       d
     }
+  }
+
+  /** Bytes the persisted index set may keep ON-HEAP before new frames
+    * demote to disk: the PROTECTED storage region of Spark's unified
+    * memory manager — (heap − 300 MB reserved) × spark.memory.fraction
+    * × spark.memory.storageFraction. Below it, cached frames coexist
+    * with execution at zero cost (execution cannot evict them, but
+    * never needs to); past it, every additional cached byte is taken
+    * FROM execution's evictable half, which is exactly the r14 sf30
+    * pathology. Reads the session's own confs so a differently-sized
+    * executor re-derives its own budget.
+    */
+  private[graft] def indexStorageBudget(spark: SparkSession): Long = {
+    val usable = Runtime.getRuntime.maxMemory - (300L << 20)
+    val fraction = spark.conf.getOption("spark.memory.fraction")
+      .map(_.toDouble).getOrElse(0.6)
+    val storageFraction = spark.conf.getOption("spark.memory.storageFraction")
+      .map(_.toDouble).getOrElse(0.5)
+    (usable * fraction * storageFraction).toLong
   }
 
   private type IndexCache =
@@ -519,16 +568,34 @@ object Dedup {
       ranked: DataFrame, sizes: DataFrame, hashVerify: Boolean): DataFrame = {
     val pref = ranked
       .filter(col("rn") <= col("k") - expr("(3 * k + 4) DIV 5") + 1)
-      .select(col("doc_id"), col("g60"), col("k"))
+      .select(col("doc_id"), col("g60"), col("rn"), col("k"))
     // LENGTH FILTER (the PPJoin companion of the prefix): J ≥ 0.6
     // forces common ≥ 0.6·max(ka, kb) and common ≤ min(ka, kb), so a
     // surviving pair needs 3·max(ka, kb) ≤ 5·min(ka, kb) — pairs whose
     // kept-set sizes differ by more than 5/3 are dropped INSIDE the
     // join, before the candidate multiset exists. Integer arithmetic,
     // provably lossless, mirrored in the oracle CTE.
+    //
+    // POSITIONAL FILTER (PPJoin's second filter, Xiao et al. WWW'08;
+    // r15): a match on gram g at ranks (rna, rnb) bounds the pair's
+    // total overlap — shared grams AFTER g (both docs rank their kept
+    // sets in the SAME global (df, g60) order) number at most
+    // min(ka − rna, kb − rnb), so on the pair's FIRST matching rank
+    // common ≤ 1 + min(ka − rna, kb − rnb). J ≥ 0.6 needs
+    // common ≥ ⌈(3/8)(na + nb)⌉ ≥ ⌈(3/8)(ka + kb)⌉ (kept ⊆ full), so
+    // any row with 8·(1 + min(ka − rna, kb − rnb)) < 3·(ka + kb) can
+    // drop: a true pair's first-match row always passes (its later
+    // rows may not — distinct only needs one survivor). Lossless in
+    // integer arithmetic, and MEASURED to cut the candidate set 2.8×
+    // at sf10 (19.32 M → 6.89 M distinct pairs against 25.6 k true
+    // pairs) — the verify joins downstream carry the pair stream with
+    // two ~0.4 KB gram arrays per row, so this is the step that sets
+    // the operator's shuffle volume.
     val cand = pref.as("x").join(pref.as("y"),
         col("x.g60") === col("y.g60") && col("x.doc_id") < col("y.doc_id") &&
-          greatest(col("x.k"), col("y.k")) * 3 <= least(col("x.k"), col("y.k")) * 5)
+          greatest(col("x.k"), col("y.k")) * 3 <= least(col("x.k"), col("y.k")) * 5 &&
+          (least(col("x.k") - col("x.rn"), col("y.k") - col("y.rn")) + lit(1)) * 8 >=
+            (col("x.k") + col("y.k")) * 3)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
     // Exact verify reads full kept-gram arrays for PARTICIPANT docs

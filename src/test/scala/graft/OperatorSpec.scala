@@ -509,6 +509,39 @@ class OperatorSpec extends SparkSpec {
       hashVerify = true)) == plain)
   }
 
+  test("jaccard positional filter: boundary pair at the exact overlap bound survives") {
+    import graft.functions.TextFns.shingleSet
+    // Crafted corpus stressing the PPJoin positional filter's equality
+    // edge. Three docs A/B/C share an 8-token run (6 shared grams) and
+    // differ in a 2-token lead (2 unshared grams each); fillers give
+    // each lead gram df = 2 so the df ≥ 2 filter keeps it, while the
+    // shared grams read df = 3 — so every doc's (df ASC, g60) ranking
+    // puts both unshared grams BEFORE all shared ones, and each pair's
+    // first match sits at rank 3 of kept size 8. There the filter's
+    // bound is exactly tight: 8·(1 + min(8−3, 8−3)) = 48 = 3·(8+8),
+    // and J = 6/(8+8−6) = 0.6 — on-threshold. A strict inequality (or
+    // any off-by-one in the rank arithmetic) would silently drop all
+    // three true pairs; their rank-4 match rows are legitimately
+    // filtered, so survival rides on the boundary row alone.
+    val srun = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val crafted = Seq(
+      (1L, s"a1 a2 $srun"), (2L, s"b1 b2 $srun"), (3L, s"c1 c2 $srun"),
+      (4L, "a1 a2 s1 s2 za zb zc zd"),
+      (5L, "b1 b2 s1 s2 zb zc zd ze"),
+      (6L, "c1 c2 s1 s2 zc zd ze zf")).toDF("doc_id", "text")
+    val sizes = crafted.select($"doc_id", size(shingleSet($"text", 3)).cast("long").as("n"))
+    val ex = Dedup.shingleIndexOf(crafted)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cap = Some(Dedup.MaxShingleDf)
+    val prefixed = canon(Dedup.jaccardFromRanked(Dedup.rankedOf(ex, cap), sizes,
+      hashVerify = false))
+    assert(prefixed((1L, 2L)) == 0.6)
+    assert(prefixed((1L, 3L)) == 0.6)
+    assert(prefixed((2L, 3L)) == 0.6)
+    assert(prefixed == canon(Dedup.ngramJaccardPlainOf(ex, sizes, cap)))
+  }
+
   test("jaccard df-cap: recall-neutral on the test corpus, binds on stopword grams") {
     import graft.functions.TextFns.shingleSet
     def pairsOf(docs: org.apache.spark.sql.DataFrame, cap: Option[Int]) = {
