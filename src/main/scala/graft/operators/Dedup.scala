@@ -416,22 +416,25 @@ object Dedup {
     *    better wall time, which is the posture that survives 100 TB.
     */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    // Per-doc set size straight off the index: the index holds one row
-    // per DISTINCT gram per doc (shingleSet semantics), so the count
-    // per doc_id IS |shingleSet(text, 3)| — no second text scan, no
-    // second shingle pass just for the Jaccard denominator.
-    val ex = shingleIndex(spark, sfDir)
-    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val nDocs = documentCount(spark, sfDir)
     // The two thresholds coincide today (both 100 k), so on the prefix
     // rung hashVerify is always true; they stay separate knobs because
     // they bound different regimes (plain-join spill onset vs the
-    // verify frame outgrowing broadcast/cheap-sort).
+    // verify frame outgrowing broadcast/cheap-sort). On the prefix
+    // rung the Jaccard denominator rides inside the index (`n` in
+    // [[rankedOf]]); the plain rung derives it from the index with one
+    // tiny aggregate — the index holds one row per DISTINCT gram per
+    // doc (shingleSet semantics), so count per doc_id IS
+    // |shingleSet(text, 3)|: no second text scan either way.
     if (nDocs >= PrefixVerifyMinDocs)
-      jaccardFromRanked(jaccardPrefixIndex(spark, sfDir), sizes,
-        hashVerify = nDocs >= VerifyHashJoinMinDocs)
-    else
+      jaccardFromRanked(jaccardPrefixIndex(spark, sfDir),
+        hashVerify = nDocs >= VerifyHashJoinMinDocs,
+        docsetsIndex = Some(jaccardDocsets(spark, sfDir)))
+    else {
+      val ex = shingleIndex(spark, sfDir)
+      val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
       ngramJaccardPlainOf(ex, sizes, Some(MaxShingleDf))
+    }
   }
 
   /** Corpus size at which [[ngramJaccard]] switches from the plain
@@ -538,10 +541,10 @@ object Dedup {
     * silently shorten prefixes.
     */
   private[graft] def ngramJaccardOf(
-      ex: DataFrame, sizes: DataFrame, dfCap: Option[Int]): DataFrame =
-    jaccardFromRanked(rankedOf(ex, dfCap), sizes, hashVerify = false)
+      ex: DataFrame, dfCap: Option[Int]): DataFrame =
+    jaccardFromRanked(rankedOf(ex, dfCap), hashVerify = false)
 
-  /** The ranked kept-postings frame `(doc_id, g60, rn, k)` feeding
+  /** The ranked kept-postings frame `(doc_id, g60, rn, k, n)` feeding
     * [[jaccardFromRanked]]: df-filtered postings ranked per doc in the
     * global (df ASC, g60) order with the doc's kept-set size. Ranked
     * via a WINDOW, not a per-doc array: the first r11 cut built a
@@ -552,20 +555,58 @@ object Dedup {
     * UnsafeExternalSorter, no per-group buffers), and g60 is unique
     * within a doc so the (df, g60) order — hence the candidate set —
     * is identical to the array form.
+    *
+    * `n` (r15) is the doc's FULL distinct-gram count — the Jaccard
+    * denominator — folded into the index so the verifier never joins
+    * a separate sizes frame: the r14 sf30 plan paid two sort-merge
+    * joins that each re-sorted the 20.7 M-row candidate stream just
+    * to attach (na, nb). The count rides the aggregate's own tiny
+    * exchange and joins back SHUFFLE_HASH on the doc_id partitioning
+    * the rank window already established — no new exchange, no sort,
+    * and the per-query sizes joins disappear. Index-build cost, paid
+    * once per (session, corpus).
     */
   private[graft] def rankedOf(ex: DataFrame, dfCap: Option[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dfFilter = dfCap.foldLeft(col("df") >= 2)((acc, cap) => acc && col("df") <= cap)
     val dfs = ex.groupBy("g60").agg(count(lit(1)).as("df")).filter(dfFilter)
+    val nsizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n")).hint("SHUFFLE_HASH")
     val byDoc = Window.partitionBy("doc_id")
     ex.join(dfs, Seq("g60"))
       .withColumn("rn", row_number().over(byDoc.orderBy(col("df"), col("g60"))))
       .withColumn("k", count(lit(1)).over(byDoc))
-      .select(col("doc_id"), col("g60"), col("rn"), col("k"))
+      .join(nsizes, Seq("doc_id"))
+      .select(col("doc_id"), col("g60"), col("rn"), col("k"), col("n"))
   }
 
+  /** Per-doc kept-gram arrays + Jaccard denominator `(doc_id, sh, n)`
+    * — the verify side of [[jaccardFromRanked]], grouped straight off
+    * the ranked frame's doc_id partitioning (no joins, no exchange).
+    */
+  private[graft] def docsetsOf(ranked: DataFrame): DataFrame =
+    ranked.select(col("doc_id"), col("g60"), col("n"))
+      .groupBy("doc_id").agg(collect_list(col("g60")).as("sh"), first(col("n")).as("n"))
+
+  private val docsetsCache = newCache()
+
+  /** Memoized persisted verify-array index: [[docsetsOf]] over the
+    * persisted prefix index. Exists because the exact verifier reads
+    * the arrays TWICE (a-side and b-side) and a zero-exchange
+    * aggregate re-executes per consumer (4.6 GB of sort-fallback
+    * spill per execution at sf30) — the persisted frame materializes
+    * them once per (session, corpus), and the r15 storage ladder
+    * demotes it to disk if it tips the cached set past the protected
+    * budget. At cluster scale this is the third table of the dedup
+    * index family (postings, prefix ranks, arrays).
+    */
+  def jaccardDocsets(spark: SparkSession, sfDir: String): DataFrame =
+    memoized(docsetsCache, spark, sfDir) {
+      docsetsOf(jaccardPrefixIndex(spark, sfDir))
+    }
+
   private[graft] def jaccardFromRanked(
-      ranked: DataFrame, sizes: DataFrame, hashVerify: Boolean): DataFrame = {
+      ranked: DataFrame, hashVerify: Boolean,
+      docsetsIndex: Option[DataFrame] = None): DataFrame = {
     val pref = ranked
       .filter(col("rn") <= col("k") - expr("(3 * k + 4) DIV 5") + 1)
       .select(col("doc_id"), col("g60"), col("rn"), col("k"))
@@ -591,6 +632,13 @@ object Dedup {
     // pairs) — the verify joins downstream carry the pair stream with
     // two ~0.4 KB gram arrays per row, so this is the step that sets
     // the operator's shuffle volume.
+    // The self-join stays SORT-MERGE deliberately: its sorts spill
+    // ~2.4 GB at sf30 but are pipeline BREAKERS — they release their
+    // memory before the downstream distinct aggregate runs. An r15
+    // SHUFFLE_HASH experiment moved that pressure instead of removing
+    // it: the build-side hash maps live through the whole probe, so
+    // the in-pipeline partial aggregate lost its memory and spilled a
+    // fresh 2 GB (49 s → 78 s warm at sf30, measured same-session).
     val cand = pref.as("x").join(pref.as("y"),
         col("x.g60") === col("y.g60") && col("x.doc_id") < col("y.doc_id") &&
           greatest(col("x.k"), col("y.k")) * 3 <= least(col("x.k"), col("y.k")) * 5 &&
@@ -598,23 +646,35 @@ object Dedup {
             (col("x.k") + col("y.k")) * 3)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    // Exact verify reads full kept-gram arrays for PARTICIPANT docs
-    // only (docs on either side of a candidate pair) — the arrays the
-    // non-candidate majority of the corpus would contribute are never
-    // built or shuffled. Worst case (every doc a participant) this
-    // equals the unrestricted build; on a real corpus participants
-    // are the near-dup minority. Order inside `sh` is irrelevant —
-    // array_intersect counts, it doesn't align.
-    val parts = cand.select(col("a_id").as("doc_id"))
-      .union(cand.select(col("b_id").as("doc_id"))).distinct()
-    // Arrays come off `ranked`, not a second read of `kept`: the
-    // windowed frame is already exchanged on doc_id, so the semi-join
-    // and the collect_list groupBy reuse that partitioning with no new
-    // shuffle — sourcing from `kept` re-ran the ex⋈dfs join and paid
-    // its g60 exchange twice (measured +740 MB shuffle at sf1).
-    val docsets = ranked.select(col("doc_id"), col("g60"))
-      .join(parts, Seq("doc_id"), "left_semi")
-      .groupBy("doc_id").agg(collect_list(col("g60")).as("sh"))
+    // Exact verify reads the full kept-gram array of EVERY doc — the
+    // r11–r14 form restricted this to "participant" docs via a
+    // semi-join against the candidate pair set, which reads as an
+    // optimization and measured as the plan's biggest structural tax:
+    // participation is 97% at sf10 and 92.5% at sf30 (any doc sharing
+    // ONE surviving prefix gram participates), so the semi-join saved
+    // ≤8% of array rows while making `cand` a TWO-consumer subtree —
+    // AQE reuses only exchange outputs, so each consumer re-ran the
+    // 20.7 M-row distinct aggregate (1.6 GB spill apiece at sf30)
+    // plus a 76.5 M-row membership join and two distinct aggregates
+    // of its own (tools/SpillProfile, sf30 warm). With the filter
+    // gone, `cand` has exactly one consumer and the whole candidate
+    // subtree executes once; the arrays group straight off `ranked`'s
+    // existing doc_id partitioning with no joins at all. Order inside
+    // `sh` is irrelevant — array_intersect counts, it doesn't align.
+    // `n` rides along: first() per doc_id off the index, so the final
+    // score needs no further joins.
+    // The verify joins consume docsets TWICE, and Spark reuses only
+    // exchange outputs across consumers — this zero-exchange aggregate
+    // re-executes per consumer (measured at sf30: the 78 M-row
+    // collect_list ran twice, 4.6 GB of sort-fallback spill each
+    // time; an explicit same-key repartition was ELIDED by the
+    // planner, so an exchange cannot pin it). The production path
+    // therefore passes the memoized [[jaccardDocsets]] index — built
+    // once per (session, corpus), partitioned by doc_id off the
+    // ranked frame, so both verify sides read cached blocks with no
+    // exchange at all. The derive-inline fallback serves spec-crafted
+    // frames, where the corpus has no registered index.
+    val docsets = docsetsIndex.getOrElse(docsetsOf(ranked))
     // `hashVerify`: SHUFFLE_HASH on both verify joins — the probe
     // stream carries the gram arrays (~0.4 KB/row), and a sort-merge
     // join would SORT that array-laden stream (measured as GBs of sort
@@ -623,17 +683,15 @@ object Dedup {
     // unsorted; same exchanges, zero sort. Hinted only past
     // [[VerifyHashJoinMinDocs]]: on a small corpus the hint forbids
     // the broadcast AQE would pick and costs more than it saves.
-    def verifySide(as: String, shAs: String) = {
-      val d = docsets.select(col("doc_id").as(as), col("sh").as(shAs))
+    def verifySide(as: String, shAs: String, nAs: String) = {
+      val d = docsets.select(col("doc_id").as(as), col("sh").as(shAs), col("n").as(nAs))
       if (hashVerify) d.hint("SHUFFLE_HASH") else d
     }
     cand
-      .join(verifySide("a_id", "sha"), Seq("a_id"))
-      .join(verifySide("b_id", "shb"), Seq("b_id"))
-      .select(col("a_id"), col("b_id"),
+      .join(verifySide("a_id", "sha", "na"), Seq("a_id"))
+      .join(verifySide("b_id", "shb", "nb"), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("na"), col("nb"),
         size(array_intersect(col("sha"), col("shb"))).cast("long").as("common"))
-      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
-      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= JaccardThreshold)
@@ -1205,8 +1263,10 @@ object Dedup {
     // The prefix-verify index only exists on the prefix rung of the
     // [[ngramJaccard]] ladder — building it below the flip would charge
     // index_build for a frame no query reads.
-    if (documentCount(spark, sfDir) >= PrefixVerifyMinDocs)
+    if (documentCount(spark, sfDir) >= PrefixVerifyMinDocs) {
       phase("jaccard_prefix")(jaccardPrefixIndex(spark, sfDir).count())
+      phase("jaccard_docsets")(jaccardDocsets(spark, sfDir).count())
+    }
     phase("minhash_signatures")(minHashSignatures(spark, sfDir).count())
     phase("lsh_pairs")(minHashPairs(spark, sfDir).count())
     phase("clusters")(nearDupClusters(spark, sfDir).count())

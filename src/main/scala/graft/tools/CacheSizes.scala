@@ -30,8 +30,28 @@ object CacheSizes {
 
     def storedBytes: Long =
       spark.sparkContext.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum
+    // Same build order as Dedup.prewarmTimed, but phase-by-phase so the
+    // storage delta can be read BETWEEN phases (prewarmTimed returns
+    // only after the whole set is built, which would attribute the
+    // entire footprint to the first row).
+    import graft.operators.Dedup
+    val phases: Seq[(String, () => Unit)] = Seq(
+      "fingerprints" -> (() => { Dedup.fingerprints(spark, sfDir).count(); () }),
+      "shingle_index" -> (() => { Dedup.shingleIndex(spark, sfDir).count(); () }),
+      "jaccard_prefix" -> (() => {
+        if (docs >= Dedup.PrefixVerifyMinDocs)
+          Dedup.jaccardPrefixIndex(spark, sfDir).count(); ()
+      }),
+      "jaccard_docsets" -> (() => {
+        if (docs >= Dedup.PrefixVerifyMinDocs)
+          Dedup.jaccardDocsets(spark, sfDir).count(); ()
+      }),
+      "minhash_signatures" -> (() => { Dedup.minHashSignatures(spark, sfDir).count(); () }),
+      "lsh_pairs" -> (() => { Dedup.minHashPairs(spark, sfDir).count(); () }),
+      "clusters" -> (() => { Dedup.nearDupClusters(spark, sfDir).count(); () }))
     var last = storedBytes
-    for ((name, _) <- graft.operators.Dedup.prewarmTimed(spark, sfDir)) {
+    for ((name, run) <- phases) {
+      run()
       val now = storedBytes
       println(f"$name%-22s +${(now - last) / 1e6}%10.1f MB " +
         f"(${(now - last).toDouble / docs}%8.1f B/doc)")

@@ -503,9 +503,9 @@ class OperatorSpec extends SparkSpec {
     val cap = Some(Dedup.MaxShingleDf)
     val plain = canon(Dedup.ngramJaccardPlainOf(ex, sizes, cap))
     assert(plain.nonEmpty, "fixture corpus must contain near-dup pairs")
-    assert(canon(Dedup.ngramJaccardOf(ex, sizes, cap)) == plain)
+    assert(canon(Dedup.ngramJaccardOf(ex, cap)) == plain)
     // And the hinted verify-join shape used past the 100k-doc rung:
-    assert(canon(Dedup.jaccardFromRanked(Dedup.rankedOf(ex, cap), sizes,
+    assert(canon(Dedup.jaccardFromRanked(Dedup.rankedOf(ex, cap),
       hashVerify = true)) == plain)
   }
 
@@ -534,7 +534,7 @@ class OperatorSpec extends SparkSpec {
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val cap = Some(Dedup.MaxShingleDf)
-    val prefixed = canon(Dedup.jaccardFromRanked(Dedup.rankedOf(ex, cap), sizes,
+    val prefixed = canon(Dedup.jaccardFromRanked(Dedup.rankedOf(ex, cap),
       hashVerify = false))
     assert(prefixed((1L, 2L)) == 0.6)
     assert(prefixed((1L, 3L)) == 0.6)
@@ -546,7 +546,7 @@ class OperatorSpec extends SparkSpec {
     import graft.functions.TextFns.shingleSet
     def pairsOf(docs: org.apache.spark.sql.DataFrame, cap: Option[Int]) = {
       val sizes = docs.select($"doc_id", size(shingleSet($"text", 3)).cast("long").as("n"))
-      Dedup.ngramJaccardOf(Dedup.shingleIndexOf(docs), sizes, cap)
+      Dedup.ngramJaccardOf(Dedup.shingleIndexOf(docs), cap)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     }
     // Parity: at test scale every df is far below the cap, so the
