@@ -266,6 +266,63 @@ object Relational {
         round(cume_dist().over(w), 4).as("cume"))
   }
 
+  /** In-sorter bytes per row of the resample union frame (unsafe row
+    * for (long, timestamp, double, int) plus sorter pointer/page
+    * overhead) — calibrated against the measured regime: 21.3 GB of
+    * sort spill over ~324 M rows at sf30 ≈ 66 B/row.
+    */
+  private val TaggedRowSortBytes = 64L
+
+  /** Per-task sort budget the counted fan-out aims for. Execution
+    * memory per concurrently-running task at the 8 GiB/32-thread
+    * harness is ~72–144 MB (unified pool × execution half ÷ slots,
+    * depending on cache residency); 64 MB keeps a whole task's sort
+    * in memory with headroom at exactly the geometry a 1000-executor
+    * cluster gives each core.
+    */
+  private val TargetSortBytesPerTask = 64L << 20
+
+  /** Counted shuffle width for a sort-heavy stage: enough partitions
+    * that `rows × bytesPerRow` fits [[TargetSortBytesPerTask]] per
+    * task, never below the session default (small frames keep the
+    * default plan bit-for-bit), capped at 1024 (past that, task
+    * scheduling overhead dominates on any plausible executor count).
+    */
+  private[graft] def sortFanOut(spark: SparkSession, rows: Long, bytesPerRow: Long): Int = {
+    val default = spark.sessionState.conf.numShufflePartitions
+    val need = (rows * bytesPerRow + TargetSortBytesPerTask - 1) / TargetSortBytesPerTask
+    math.min(1024L, math.max(default.toLong, need)).toInt
+  }
+
+  /** Memoized row count of the resample union frame (grid + hourly) —
+    * the sizing input of its counted sort fan-out. One counting pass
+    * per (session, corpus), same contract as Dedup's memoized corpus
+    * counts; the pass is the query's own plan minus the window, so it
+    * costs seconds where the un-widened sort pays tens of GB of
+    * spill. Stopped-session keys are swept on access.
+    */
+  private val resampleRowCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  private def resampleRows(spark: SparkSession, sfDir: String): Long = {
+    resampleRowCache.keySet.foreach { k =>
+      if (k._1.sparkContext.isStopped) resampleRowCache.remove(k)
+    }
+    resampleRowCache.getOrElseUpdate((spark, sfDir), {
+      val hourly = Tables.events(spark, sfDir)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      // Grid rows per user = span hours + 1, computed arithmetically
+      // from the hour-truncated bounds (no need to materialize the
+      // 300 M-row explode just to count it). DIV keeps it integer.
+      val spans = hourly.groupBy("user_id")
+        .agg(max(unix_micros(col("h"))).as("h1"), min(unix_micros(col("h"))).as("h0"),
+          count(lit(1)).as("obs_rows"))
+        .select((expr("(h1 - h0) DIV 3600000000") + lit(1L) + col("obs_rows")).as("rows"))
+      val r = spans.agg(sum(col("rows"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    })
+  }
+
   /** Time-series resample + forward-fill: per user, an hourly grid
     * spanning [first, last] active hour; missing buckets inherit the
     * last observed hourly total. The grid explode is
@@ -315,11 +372,26 @@ object Relational {
       .select(col("user_id"), col("h"),
         lit(null).cast("double").as("v"), lit(0).as("src"))
       .unionByName(hourly.select(col("user_id"), col("h"), col("v"), lit(1).as("src")))
+    // COUNTED sort fan-out (r15): the fill window's ONE exchange is
+    // also its one sort, and the grid is the query's biggest frame —
+    // at sf30 it is ~324 M rows into the pinned 32-way shuffle,
+    // ~400 MB of sort state per task against a ~100 MB execution
+    // share (measured 21.3 GB of sort spill on a 3.3 GB shuffle).
+    // The row count is MEASURED, not estimated — one counting pass of
+    // the pre-window frame, memoized per (session, corpus) — and the
+    // width is chosen so each task's sort fits its budget. At or
+    // below the session default the plan is byte-identical to the
+    // unhinted form (the repartition IS the window's exchange). The
+    // global initialPartitionNum lever was rejected in r10 precisely
+    // because it under-parallelizes small stages elsewhere; this is
+    // the per-operator, counted form of the same idea.
+    val parts = sortFanOut(spark, resampleRows(spark, sfDir), TaggedRowSortBytes)
     val fill = Window.partitionBy("user_id")
       .orderBy(col("h"), col("src").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val presence = Window.partitionBy("user_id", "h")
     tagged
+      .repartition(parts, col("user_id"))
       .withColumn("filled", last("v", ignoreNulls = true).over(fill))
       .withColumn("has_obs",
         max(when(col("v").isNotNull, col("src")).otherwise(lit(0))).over(presence))
