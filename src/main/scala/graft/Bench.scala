@@ -11,20 +11,31 @@ object Bench {
     // the compact summary lines. The side file is ALSO written under a
     // round-stamped name (bench_queries_r<N>.json) so per-query
     // shuffle/spill history stays diffable across rounds without git
-    // archaeology — the round comes from SPARK_GRAFT_ROUND when set,
-    // else it is inferred as max(BENCH_r<N>.json in cwd) + 1 (the
-    // driver writes BENCH_r<N>.json only AFTER this run, so the
-    // inference names the round in progress).
+    // archaeology. The round is DERIVED FROM REPO STATE, never from
+    // an env var someone must remember (r16: the r15 driver bench ran
+    // with a stale SPARK_GRAFT_ROUND=14 and mislabeled the round's
+    // canonical record): it is max(BENCH_r<N>.json, CORRECTNESS_r<N>
+    // .json in cwd) + 1 — the driver writes both only AFTER this run,
+    // so the inference names the round in progress. SPARK_GRAFT_ROUND
+    // is retained purely as a cross-check: a set-but-disagreeing value
+    // is recorded in _meta.round_env and overridden.
     // A subset run (SPARK_GRAFT_BENCH_ONLY below) must never clobber
     // the repo's full-sweep record under the default side-file name.
     val sidePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDE",
       if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "bench_queries_subset.json"
       else "bench_queries.json")
-    val roundTag: String = sys.env.get("SPARK_GRAFT_ROUND").getOrElse {
-      val re = "BENCH_r(\\d+)\\.json".r
+    val roundTag: String = {
+      val re = "(?:BENCH|CORRECTNESS)_r(\\d+)\\.json".r
       val prev = Option(new java.io.File(".").listFiles()).toSeq.flatten
         .flatMap(f => re.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-      if (prev.isEmpty) "unknown" else f"${prev.max + 1}%02d"
+      if (prev.isEmpty) sys.env.getOrElse("SPARK_GRAFT_ROUND", "unknown")
+      else f"${prev.max + 1}%02d"
+    }
+    val roundEnvNote: String = sys.env.get("SPARK_GRAFT_ROUND") match {
+      case Some(e) if e != roundTag =>
+        System.err.println(s"[bench] SPARK_GRAFT_ROUND=$e disagrees with repo-derived round $roundTag; using $roundTag")
+        s""", "round_env": "$e""""
+      case _ => ""
     }
     // AQE initial shuffle fan-out. Default = cores (Spark's own
     // default: initialPartitionNum falls back to shuffle.partitions).
@@ -448,6 +459,23 @@ object Bench {
       if (allProbes.isEmpty) -1.0 else allProbes(allProbes.size / 2)
     val probeMax = allProbes.lastOption.getOrElse(-1.0)
     val stealProbes = allProbes.count(_ > 2 * probeFloor)
+    // Bandwidth-class VERDICT (r16, closing the r15 judge item): the
+    // mem-probe sentinel has twice NAMED a mid-sweep bandwidth
+    // episode (r12, r15) that nothing then acted on, leaving the
+    // headline number silently noise-inflated. The leg now stamps its
+    // own class so cross-round comparison is like-for-like by
+    // construction: max/min over the per-wave mem probes (each
+    // already min-of-3, so a single stray pass cannot trip it).
+    // <=1.5x spread = "clean" (r13's quiet legs read 1.0-1.3x);
+    // above it = "degraded" — the r15 driver sweep's [17.2..50.2]
+    // would stamp degraded at 2.9x. Consumers (scale_curve, judges)
+    // should not compare a degraded leg's wall times against a clean
+    // record; shuffle/spill volumes remain valid either way.
+    val memSpread =
+      if (memProbeWaves.isEmpty || memProbeWaves.min <= 0) -1.0
+      else memProbeWaves.max / memProbeWaves.min
+    val bandwidthClass =
+      if (memSpread < 0) "unknown" else if (memSpread <= 1.5) "clean" else "degraded"
     // Side file: the complete per-query record, one pretty-printed
     // entry per query — timings, shuffle/spill volumes, and the three
     // pre-attempt sentinel probes.
@@ -455,7 +483,7 @@ object Bench {
       val pr = q.probesMs.map(r3).mkString("[", ",", "]")
       s"""  "${q.name}": {"min_s": ${r3(q.min)}, "median_s": ${r3(q.median)}, "runs": ${q.runs}, "shuffle_write_mb": ${r3(q.shuffleWriteMb)}, "shuffle_read_mb": ${r3(q.shuffleReadMb)}, "spill_mb": ${r3(q.spillMb)}, "probe_ms": $pr}"""
     }.mkString(
-      s"""{\n  "_meta": {"round": "$roundTag", "sf": "$sfDir", "cpus": $cpus, "init_partitions": $initPartitions, "action": "noop-write", "attempt_order": "round-robin", "index_build_s": ${r3(indexBuild)}, "prewarm_ok": $prewarmOk, "prewarm_phases_s": $prewarmPhasesJson, "cache_probe": $cacheProbeJson, "total_median_s": ${r3(totalMedian)}, "total_min_s": ${r3(totalMin)}, "n_queries": ${results.size}, "probe_floor_ms": ${r3(probeFloor)}, "probe_median_ms": ${r3(probeMedian)}, "probe_max_ms": ${r3(probeMax)}, "steal_probes": $stealProbes, "n_probes": ${allProbes.size}, "par_probe_ms": $parProbesJson, "mem_probe_ms": $memProbesJson, "mem_probe_mb_per_thread": 48, "par_probe_threads": ${Runtime.getRuntime.availableProcessors()}, "attempts": $nAttempts, "errors": $errors, "reduced_sample": $reduced},\n""",
+      s"""{\n  "_meta": {"round": "$roundTag"$roundEnvNote, "sf": "$sfDir", "cpus": $cpus, "init_partitions": $initPartitions, "action": "noop-write", "attempt_order": "round-robin", "index_build_s": ${r3(indexBuild)}, "prewarm_ok": $prewarmOk, "prewarm_phases_s": $prewarmPhasesJson, "cache_probe": $cacheProbeJson, "total_median_s": ${r3(totalMedian)}, "total_min_s": ${r3(totalMin)}, "n_queries": ${results.size}, "probe_floor_ms": ${r3(probeFloor)}, "probe_median_ms": ${r3(probeMedian)}, "probe_max_ms": ${r3(probeMax)}, "steal_probes": $stealProbes, "n_probes": ${allProbes.size}, "par_probe_ms": $parProbesJson, "mem_probe_ms": $memProbesJson, "mem_probe_spread": ${r3(memSpread)}, "bandwidth_class": "$bandwidthClass", "mem_probe_mb_per_thread": 48, "par_probe_threads": ${Runtime.getRuntime.availableProcessors()}, "attempts": $nAttempts, "errors": $errors, "reduced_sample": $reduced},\n""",
       ",\n", "\n}\n")
     val sideBytes = side.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     java.nio.file.Files.write(java.nio.file.Paths.get(sidePath), sideBytes)
@@ -472,7 +500,7 @@ object Bench {
     val qs = results
       .map { q => "\"" + q.name + "\":" + (if (q.runs > 0) r3(q.min) else "-1") }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(totalMedian)},"unit":"sec","sf":"$sfDir","action":"noop-write,round-robin attempts,median-of-$nAttempts total,min-of-$nAttempts per query","total_min":${r3(totalMin)},"index_build":${r3(indexBuild)},"prewarm_phases":$prewarmPhasesJson,"cache_probe":$cacheProbeJson,"prewarm_ok":$prewarmOk,"n_queries":${results.size},"probe_floor_ms":${r3(probeFloor)},"steal_probes":$stealProbes,"par_probe_ms":$parProbesJson,"mem_probe_ms":$memProbesJson,"errors":$errors,"reduced_sample":$reduced,"side_file":"$sidePath","round":"$roundTag","queries":$qs}""")
+    println(s"""{"metric":"total","value":${r3(totalMedian)},"unit":"sec","sf":"$sfDir","action":"noop-write,round-robin attempts,median-of-$nAttempts total,min-of-$nAttempts per query","total_min":${r3(totalMin)},"index_build":${r3(indexBuild)},"prewarm_phases":$prewarmPhasesJson,"cache_probe":$cacheProbeJson,"prewarm_ok":$prewarmOk,"n_queries":${results.size},"probe_floor_ms":${r3(probeFloor)},"steal_probes":$stealProbes,"par_probe_ms":$parProbesJson,"mem_probe_ms":$memProbesJson,"bandwidth_class":"$bandwidthClass","errors":$errors,"reduced_sample":$reduced,"side_file":"$sidePath","round":"$roundTag","queries":$qs}""")
     // Short summary repeated LAST: if the record above ever outgrows
     // the driver's tail window again, the totals still land intact.
     println(s"""{"metric":"total","value":${r3(totalMedian)},"unit":"sec","sf":"$sfDir","total_min":${r3(totalMin)},"index_build":${r3(indexBuild)},"prewarm_ok":$prewarmOk,"n_queries":${results.size},"probe_floor_ms":${r3(probeFloor)},"steal_probes":$stealProbes,"errors":$errors,"side_file":"$sidePath"}""")

