@@ -281,7 +281,13 @@ object Dedup {
         // keep consuming the budget, or one oversized frame would
         // cascade-demote every small frame built after it.
         val stored = infos.map(_.memSize).sum
-        if (partial || stored > indexStorageBudget(d.sparkSession)) {
+        val budget = indexStorageBudget(d.sparkSession)
+        if (partial || stored > budget) {
+          // Demotions are designed degradation and must be VISIBLE in
+          // a leg's log — the judge's "which frames demoted" contract.
+          val why = if (partial) "partial-residency" else "over-budget"
+          System.err.println(
+            f"[graft-index] DISK_ONLY demotion ($why): frame=${own.map(_.name).mkString("|")} ownMem=${own.map(_.memSize).sum / 1e6}%.1f MB storedTotal=${stored / 1e6}%.1f MB budget=${budget / 1e6}%.1f MB")
           d.unpersist(blocking = true)
           d.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
           d.count()
