@@ -67,6 +67,11 @@ object JaccardProfile {
     stamp("cand_distinct_pos", positional
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct().count())
+    // The r16 shipped form: grouped overlap ubound over the full match
+    // sequence — strictly ≤ cand_distinct_pos by the dominance proof
+    // in Dedup.jaccardCandidatesOf; the gap between the two rows is
+    // what the accumulated bound prunes beyond the per-row test.
+    stamp("cand_grouped", Dedup.jaccardCandidatesOf(ranked).count())
     val parts = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
     stamp("participants", parts.count())
