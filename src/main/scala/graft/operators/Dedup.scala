@@ -668,20 +668,21 @@ object Dedup {
     // join, before the candidate multiset exists. Integer arithmetic,
     // provably lossless, mirrored in the oracle CTE.
     //
-    // POSITIONAL INFORMATION (PPJoin's second filter, Xiao et al.
-    // WWW'08): a match on gram g at ranks (rna, rnb) bounds the pair's
+    // POSITIONAL FILTER (PPJoin's second filter, Xiao et al. WWW'08;
+    // r15): a match on gram g at ranks (rna, rnb) bounds the pair's
     // total overlap — shared grams AFTER g (both docs rank their kept
     // sets in the SAME global (df, g60) order) number at most
-    // min(ka − rna, kb − rnb), and J ≥ 0.6 needs
-    // common ≥ ⌈(3/8)(na + nb)⌉ ≥ ⌈(3/8)(ka + kb)⌉ (kept ⊆ full).
-    // The r15 form applied this per join ROW at the first match
-    // (common ≤ 1 + min-suffix), measured to cut the candidate set
-    // 2.8× at sf10 (19.32 M → 6.89 M distinct pairs against 25.6 k
-    // true pairs); r16 moves it into the pair AGGREGATE below, where
-    // the accumulated form dominates it — see the grouped-ubound
-    // comment. The verify joins downstream carry the pair stream with
-    // two ~0.4 KB gram arrays per row, so the candidate count is what
-    // sets the operator's shuffle volume.
+    // min(ka − rna, kb − rnb), so on the pair's FIRST matching rank
+    // common ≤ 1 + min(ka − rna, kb − rnb). J ≥ 0.6 needs
+    // common ≥ ⌈(3/8)(na + nb)⌉ ≥ ⌈(3/8)(ka + kb)⌉ (kept ⊆ full), so
+    // any row with 8·(1 + min(ka − rna, kb − rnb)) < 3·(ka + kb) can
+    // drop: a true pair's first-match row always passes (its later
+    // rows may not — distinct only needs one survivor). Lossless in
+    // integer arithmetic, and MEASURED to cut the candidate set 2.8×
+    // at sf10 (19.32 M → 6.89 M distinct pairs against 25.6 k true
+    // pairs) — the verify joins downstream carry the pair stream with
+    // two ~0.4 KB gram arrays per row, so this is the step that sets
+    // the operator's shuffle volume.
     // The self-join stays SORT-MERGE deliberately: its sorts spill
     // ~2.4 GB at sf30 but are pipeline BREAKERS — they release their
     // memory before the downstream distinct aggregate runs. An r15
@@ -689,50 +690,35 @@ object Dedup {
     // it: the build-side hash maps live through the whole probe, so
     // the in-pipeline partial aggregate lost its memory and spilled a
     // fresh 2 GB (49 s → 78 s warm at sf30, measured same-session).
-    // GROUPED OVERLAP UPPER BOUND (r16 — the PPJoin accumulated ubound,
-    // Xiao et al. WWW'08 §3.2, folded into the pair aggregate; the
-    // "bound from both ends" step the r15 verdict named). The r15 form
-    // tested 1 + min-suffix PER ROW and took distinct() — which throws
-    // away exactly the information that bounds the pair: HOW MANY
-    // prefix rows matched and WHERE the last one sat. Both docs rank
-    // their kept sets in the same global (df, g60) order, so a pair's
-    // shared grams have co-monotone ranks: the aggregate's max(rna)
-    // and max(rnb) land on the SAME (last) match row, A = count(*) is
-    // the exact front overlap through that row, and every other
-    // shared gram sits strictly after both maxes — so
-    // common ≤ A + min(ka − rna_last, kb − rnb_last). This accumulated
-    // bound is non-increasing along the match sequence (each step adds
-    // 1 to A and ≥1 to both ranks), so its value at the FULL last
-    // match is the tightest of the family and ≤ the first-row value
-    // 1 + minsuffix(first) — the grouped filter therefore kills every
-    // pair the r15 per-row test killed PLUS every pair whose gapped,
-    // spread-out prefix matches eat the overlap budget (a gap in the
-    // co-monotone rank walk is proof of unshared grams). The per-row
-    // predicate is deliberately GONE from the join: truncating the
-    // match sequence would loosen the bound back to per-row strength
-    // (the survivors form a contiguous head, and a shorter head means
-    // a larger suffix term). Cost: the untruncated match rows flow
-    // into the aggregate — but partial aggregation collapses them
-    // map-side, so the exchange still carries ~one row per distinct
-    // pair (same shuffle as the old distinct, three extra longs of
-    // state); what the tighter bound buys is pairs that never enter
-    // the verify joins, and the array-carrying verify exchange
-    // (12.5 GB at sf30) is the operator's measured floor. Equality
-    // edge (bound == threshold survives) pinned in OperatorSpec.
+    // REJECTED STRONGER FORM — the PPJoin accumulated ubound (Xiao et
+    // al. WWW'08 §3.2), built and measured r16, then reverted on a
+    // same-night sf30 A/B. Dropping the per-row predicate and folding
+    // the positional information into the pair aggregate
+    // (common ≤ A + min(ka − rna_last, kb − rnb_last), lossless, the
+    // tightest bound positional information admits — equality-edge
+    // and gap-pair behavior stay pinned in OperatorSpec) prunes only
+    // 3.4% more candidates than the per-row test (6.653 M vs 6.890 M
+    // at sf10, JaccardProfile r16): false candidates here
+    // overwhelmingly share exactly ONE prefix gram (A = 1), where the
+    // accumulated and per-row bounds coincide, and deeper suffix
+    // filtering degenerates because within a df tier the (df, g60)
+    // order is HASH order — every doc's kept set is a near-uniform
+    // sample of the hash space, so value-partition bounds collapse to
+    // the size bound. Meanwhile the untruncated match multiset
+    // (61 M rows at sf30 vs 21.9 M truncated) through the wider
+    // aggregate state ballooned execution-memory pressure: same-night
+    // sf30 A/B read 24.1 s min / 32.4 s median / 4.5 GB spill
+    // (per-row form) vs 27.8 / 53.4 / 23.3 GB (accumulated form) —
+    // bench_sf30_jacc{Old,}_r16.json. The positional lever is
+    // EXHAUSTED at this corpus shape; the per-row + distinct form is
+    // the measured floor.
     pref.as("x").join(pref.as("y"),
         col("x.g60") === col("y.g60") && col("x.doc_id") < col("y.doc_id") &&
-          greatest(col("x.k"), col("y.k")) * 3 <= least(col("x.k"), col("y.k")) * 5)
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        col("x.rn").as("rna"), col("y.rn").as("rnb"),
-        col("x.k").as("ka"), col("y.k").as("kb"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("pov"),
-        max(col("rna")).as("rna_last"), max(col("rnb")).as("rnb_last"),
-        max(col("ka")).as("ka"), max(col("kb")).as("kb"))
-      .filter((col("pov") +
-          least(col("ka") - col("rna_last"), col("kb") - col("rnb_last"))) * 8 >=
-        (col("ka") + col("kb")) * 3)
-      .select(col("a_id"), col("b_id"))
+          greatest(col("x.k"), col("y.k")) * 3 <= least(col("x.k"), col("y.k")) * 5 &&
+          (least(col("x.k") - col("x.rn"), col("y.k") - col("y.rn")) + lit(1)) * 8 >=
+            (col("x.k") + col("y.k")) * 3)
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
   }
 
   private[graft] def jaccardFromRanked(

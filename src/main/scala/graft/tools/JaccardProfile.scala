@@ -67,11 +67,23 @@ object JaccardProfile {
     stamp("cand_distinct_pos", positional
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct().count())
-    // The r16 shipped form: grouped overlap ubound over the full match
-    // sequence — strictly ≤ cand_distinct_pos by the dominance proof
-    // in Dedup.jaccardCandidatesOf; the gap between the two rows is
-    // what the accumulated bound prunes beyond the per-row test.
-    stamp("cand_grouped", Dedup.jaccardCandidatesOf(ranked).count())
+    // The r16-REJECTED accumulated ubound (see the rejection note in
+    // Dedup.jaccardCandidatesOf), kept here as a measurement: its gap
+    // below cand_distinct_pos is all the pruning positional
+    // information has left beyond the shipped per-row test (measured
+    // 3.4% at sf10 — not worth the untruncated-multiset agg cost).
+    stamp("cand_grouped_rej", joined
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.rn").as("rna"), col("y.rn").as("rnb"),
+        col("x.k").as("ka"), col("y.k").as("kb"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("pov"),
+        max(col("rna")).as("rna_last"), max(col("rnb")).as("rnb_last"),
+        max(col("ka")).as("ka"), max(col("kb")).as("kb"))
+      .filter((col("pov") +
+          least(col("ka") - col("rna_last"), col("kb") - col("rnb_last"))) * 8 >=
+        (col("ka") + col("kb")) * 3)
+      .count())
     val parts = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
     stamp("participants", parts.count())

@@ -511,20 +511,18 @@ class OperatorSpec extends SparkSpec {
 
   test("jaccard positional filter: boundary pair at the exact overlap bound survives") {
     import graft.functions.TextFns.shingleSet
-    // Crafted corpus stressing the grouped overlap ubound's equality
+    // Crafted corpus stressing the PPJoin positional filter's equality
     // edge. Three docs A/B/C share an 8-token run (6 shared grams) and
     // differ in a 2-token lead (2 unshared grams each); fillers give
     // each lead gram df = 2 so the df ≥ 2 filter keeps it, while the
     // shared grams read df = 3 — so every doc's (df ASC, g60) ranking
     // puts both unshared grams BEFORE all shared ones, and each pair's
-    // prefix (length 4 of kept size 8) matches at ranks 3 AND 4. The
-    // grouped bound (r16) aggregates both rows: A = 2, last match at
-    // rank 4 both sides, so 8·(2 + min(8−4, 8−4)) = 48 = 3·(8+8) —
-    // exactly tight, and J = 6/(8+8−6) = 0.6 — on-threshold. A strict
-    // inequality, an off-by-one in the rank arithmetic, or a wrong
-    // last-match attribution (max(rna)/max(rnb) landing on different
-    // rows would overcount the suffix) silently drops all three true
-    // pairs.
+    // first match sits at rank 3 of kept size 8. There the filter's
+    // bound is exactly tight: 8·(1 + min(8−3, 8−3)) = 48 = 3·(8+8),
+    // and J = 6/(8+8−6) = 0.6 — on-threshold. A strict inequality (or
+    // any off-by-one in the rank arithmetic) would silently drop all
+    // three true pairs; their rank-4 match rows are legitimately
+    // filtered, so survival rides on the boundary row alone.
     val srun = "s1 s2 s3 s4 s5 s6 s7 s8"
     val crafted = Seq(
       (1L, s"a1 a2 $srun"), (2L, s"b1 b2 $srun"), (3L, s"c1 c2 $srun"),
@@ -544,36 +542,37 @@ class OperatorSpec extends SparkSpec {
     assert(prefixed == canon(Dedup.ngramJaccardPlainOf(ex, sizes, cap)))
   }
 
-  test("jaccard grouped ubound: gapped prefix matches prune a pair the per-row bound kept") {
-    // The accumulated bound's pruning power beyond the r15 per-row
-    // positional test: a pair whose prefix matches are SPREAD OUT.
-    // Synthesized directly as a postings frame so gram order is
-    // controlled numerically (every gram df = 2, so the global
-    // (df ASC, g60) order is just g60). Docs A (grams 1..10) and
-    // B (3, 5, 11, 12, 14, 16..20) share exactly {3, 5}: kept sizes
-    // ka = kb = 10, prefix length 10 − (34 DIV 5) + 1 = 5, matches at
-    // ranks (3, 1) and (5, 2) — co-monotone. Grouped bound:
-    // 8·(2 + min(10−5, 10−2)) = 56 < 60 = 3·(10+10) → PRUNED. The r15
-    // per-row test at the first match read 8·(1 + min(7, 9)) = 64 ≥ 60
-    // and kept the pair (its true J = 2/18 is far below 0.6 — the
-    // prune is lossless, it just saves the verify join the trip).
+  test("jaccard candidate semantics: gapped-match pair is kept by the per-row bound, killed by verify") {
+    // Pins the SHIPPED candidate semantics at the exact shape where
+    // the r16-rejected accumulated ubound (Xiao WWW'08 §3.2) differed:
+    // a false pair whose prefix matches are SPREAD OUT. Synthesized
+    // directly as a postings frame so gram order is controlled
+    // numerically (every gram df = 2, so the global (df ASC, g60)
+    // order is just g60). Docs A (grams 1..10) and B (3, 5, 11, 12,
+    // 14, 16..20) share exactly {3, 5}: kept sizes ka = kb = 10,
+    // prefix length 10 − (34 DIV 5) + 1 = 5, matches at ranks (3, 1)
+    // and (5, 2). The per-row positional test at the first match reads
+    // 8·(1 + min(7, 9)) = 64 ≥ 60 = 3·(10+10) → the pair IS a
+    // candidate; the accumulated bound 8·(2 + min(10−5, 10−2)) =
+    // 56 < 60 would have pruned it — that form was measured (3.4%
+    // extra pruning at sf10 for a 4.5 → 23.3 GB sf30 spill balloon,
+    // bench_sf30_jacc{Old,}_r16.json) and REJECTED; this test fails
+    // loudly if either form silently replaces the other. The false
+    // pair then dies in exact verify: J = 2/18 < 0.6, empty output.
     // Every unshared gram is echoed by a single-gram filler doc to
-    // reach df = 2; filler pairs die in the length filter
-    // (3·10 > 5·1). The boundary corpus above pins the keep side of
-    // the same bound at exact equality.
+    // reach df = 2; filler pairs die in the length filter (3·10 > 5·1).
     val aGrams = (1L to 10L).map((1L, _))
     val bSet = Seq(3L, 5L, 11L, 12L, 14L, 16L, 17L, 18L, 19L, 20L)
     val bGrams = bSet.map((2L, _))
-    // One filler doc per unshared gram (doc_ids 100+g), raising df to 2.
     val unshared = ((1L to 10L) ++ bSet).filterNot(g => g == 3L || g == 5L)
     val fillers = unshared.map(g => (100L + g, g))
     val ex = (aGrams ++ bGrams ++ fillers).toDF("doc_id", "g60")
     val cand = Dedup.jaccardCandidatesOf(Dedup.rankedOf(ex, None))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(!cand.contains((1L, 2L)),
-      s"gapped pair must be pruned by the grouped ubound; candidates: $cand")
-    // And the pruned pair is genuinely false: full output parity with
-    // the plain form (which computes J exactly) on this corpus.
+    assert(cand.contains((1L, 2L)),
+      s"gapped pair must survive the per-row positional bound; candidates: $cand")
+    // And the kept candidate is genuinely false — exact verify emits
+    // nothing, in parity with the plain form.
     val sizes = ex.groupBy($"doc_id").agg(count(lit(1)).cast("long").as("n"))
     val plain = Dedup.ngramJaccardPlainOf(ex, sizes, None).collect()
     val prefix = Dedup.jaccardFromRanked(Dedup.rankedOf(ex, None), hashVerify = false).collect()
