@@ -74,7 +74,22 @@ object Bench {
     // A/B was taken (see GraftSession's threshold scaladoc).
     sys.env.get("SPARK_GRAFT_AQE_BROADCAST").foreach(v =>
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v))
+    // Generic runtime-conf pass-through (same contract as
+    // SpillProfile's) so operator-level A/B knobs read via spark.conf
+    // (e.g. spark.graft.mart.factParts) can run under the EXACT bench
+    // harness that produces committed legs, not just the profiler:
+    //   SPARK_GRAFT_CONF="k1=v1;k2=v2"
+    sys.env.get("SPARK_GRAFT_CONF").foreach { kvs =>
+      kvs.split(';').filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      }
+    }
     spark.sparkContext.setLogLevel("WARN")
+    // Self-describing A/B legs: the knob string lands in _meta so a
+    // judge never has to infer which side of an A/B a file is.
+    val confNote: String = sys.env.get("SPARK_GRAFT_CONF")
+      .map(v => s""", "conf": "${v.replace("\"", "'")}"""").getOrElse("")
     val metrics = new tools.StageMetricsListener
     spark.sparkContext.addSparkListener(metrics)
     def drain(): Unit =
@@ -483,7 +498,7 @@ object Bench {
       val pr = q.probesMs.map(r3).mkString("[", ",", "]")
       s"""  "${q.name}": {"min_s": ${r3(q.min)}, "median_s": ${r3(q.median)}, "runs": ${q.runs}, "shuffle_write_mb": ${r3(q.shuffleWriteMb)}, "shuffle_read_mb": ${r3(q.shuffleReadMb)}, "spill_mb": ${r3(q.spillMb)}, "probe_ms": $pr}"""
     }.mkString(
-      s"""{\n  "_meta": {"round": "$roundTag"$roundEnvNote, "sf": "$sfDir", "cpus": $cpus, "init_partitions": $initPartitions, "action": "noop-write", "attempt_order": "round-robin", "index_build_s": ${r3(indexBuild)}, "prewarm_ok": $prewarmOk, "prewarm_phases_s": $prewarmPhasesJson, "cache_probe": $cacheProbeJson, "total_median_s": ${r3(totalMedian)}, "total_min_s": ${r3(totalMin)}, "n_queries": ${results.size}, "probe_floor_ms": ${r3(probeFloor)}, "probe_median_ms": ${r3(probeMedian)}, "probe_max_ms": ${r3(probeMax)}, "steal_probes": $stealProbes, "n_probes": ${allProbes.size}, "par_probe_ms": $parProbesJson, "mem_probe_ms": $memProbesJson, "mem_probe_spread": ${r3(memSpread)}, "bandwidth_class": "$bandwidthClass", "mem_probe_mb_per_thread": 48, "par_probe_threads": ${Runtime.getRuntime.availableProcessors()}, "attempts": $nAttempts, "errors": $errors, "reduced_sample": $reduced},\n""",
+      s"""{\n  "_meta": {"round": "$roundTag"$roundEnvNote$confNote, "sf": "$sfDir", "cpus": $cpus, "init_partitions": $initPartitions, "action": "noop-write", "attempt_order": "round-robin", "index_build_s": ${r3(indexBuild)}, "prewarm_ok": $prewarmOk, "prewarm_phases_s": $prewarmPhasesJson, "cache_probe": $cacheProbeJson, "total_median_s": ${r3(totalMedian)}, "total_min_s": ${r3(totalMin)}, "n_queries": ${results.size}, "probe_floor_ms": ${r3(probeFloor)}, "probe_median_ms": ${r3(probeMedian)}, "probe_max_ms": ${r3(probeMax)}, "steal_probes": $stealProbes, "n_probes": ${allProbes.size}, "par_probe_ms": $parProbesJson, "mem_probe_ms": $memProbesJson, "mem_probe_spread": ${r3(memSpread)}, "bandwidth_class": "$bandwidthClass", "mem_probe_mb_per_thread": 48, "par_probe_threads": ${Runtime.getRuntime.availableProcessors()}, "attempts": $nAttempts, "errors": $errors, "reduced_sample": $reduced},\n""",
       ",\n", "\n}\n")
     val sideBytes = side.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     java.nio.file.Files.write(java.nio.file.Paths.get(sidePath), sideBytes)
