@@ -364,33 +364,47 @@ object Relational {
     val hourly = Tables.events(spark, sfDir)
       .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
       .agg(sum("value").as("v"))
+    // The bounds frame is TINY (one row per user: 450 k rows / 16 MB
+    // at sf30) but the explode below amplifies it ~700× (315 M grid
+    // rows / 13.7 GB at sf30) — and a generator's parallelism is its
+    // INPUT's partition count. Left alone, AQE rightly coalesces the
+    // 16 MB bounds exchange to one partition, which silently makes
+    // the biggest row-generation stage in the library SINGLE-THREADED
+    // (measured r16: the one-task explode+shuffle-write dominated the
+    // sf30 query in both sort-width regimes). An explicit repartition
+    // is exempt from AQE coalescing, so the explode fans out to the
+    // session width; the 16 MB extra exchange is noise. This is the
+    // general rule: partition a generator by its OUTPUT volume, never
+    // let AQE size it by its input bytes.
     val grid = hourly.groupBy("user_id")
       .agg(min("h").as("h0"), max("h").as("h1"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .select(col("user_id"),
         explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
     val tagged = grid
       .select(col("user_id"), col("h"),
         lit(null).cast("double").as("v"), lit(0).as("src"))
       .unionByName(hourly.select(col("user_id"), col("h"), col("v"), lit(1).as("src")))
-    // COUNTED sort fan-out (r15): the fill window's ONE exchange is
-    // also its one sort, and the grid is the query's biggest frame —
-    // at sf30 it is ~324 M rows into the pinned 32-way shuffle,
-    // ~400 MB of sort state per task against a ~100 MB execution
-    // share (measured 21.3 GB of sort spill on a 3.3 GB shuffle).
-    // The row count is MEASURED, not estimated — one counting pass of
-    // the pre-window frame, memoized per (session, corpus) — and the
-    // width is chosen so each task's sort fits its budget. The hint
-    // is inserted ONLY when the counted width exceeds the session
-    // default (r16, closing the r15 advice item): an explicit
-    // repartition(N) is exempt from AQE partition coalescing, so
-    // hinting at parts == default would pin the small-corpus plan at
-    // the default width where the unhinted exchange coalesces below
-    // it — below the threshold the plan really is byte-identical to
-    // the unhinted form only by NOT hinting. The global
-    // initialPartitionNum lever was rejected in r10 precisely
-    // because it under-parallelizes small stages elsewhere; this is
-    // the per-operator, counted form of the same idea.
-    val parts = sortFanOut(spark, resampleRows(spark, sfDir), TaggedRowSortBytes)
+    // Sort-width A/B gate, and a REJECTED lever (r16): "off"
+    // (default) = the session-default, AQE-coalescible exchange;
+    // "auto" = the r15 counted 64 MB/task width; an integer pins an
+    // explicit width. The r15 counted form shipped unmeasured and the
+    // r16 same-night profile matrix at sf30 rejected it: once the
+    // grid explode is parallel (below), widths 32/128/192 all read
+    // 38-41 s (spill 15/8.6/12.9 GB — the sort's sequential spill
+    // writes cost no measurable wall at this harness) while the
+    // counted 344 reads 53.4 s (0 spill): +30% wall to erase disk
+    // traffic nothing was waiting on — the same wide-fan-out
+    // bookkeeping cost that rejected the r10 initialPartitionNum
+    // lever and the r16 mart factParts knob. The knob reproduces all
+    // four regimes under the exact bench harness.
+    val fanOutMode = spark.conf.getOption("spark.graft.resample.fanOut")
+      .getOrElse("off")
+    val parts = fanOutMode match {
+      case "auto" => sortFanOut(spark, resampleRows(spark, sfDir), TaggedRowSortBytes)
+      case "off"  => 0
+      case n      => n.toInt
+    }
     val defaultParts = spark.sessionState.conf.numShufflePartitions
     val fill = Window.partitionBy("user_id")
       .orderBy(col("h"), col("src").desc)
