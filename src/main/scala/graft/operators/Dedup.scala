@@ -287,7 +287,7 @@ object Dedup {
           // a leg's log — the judge's "which frames demoted" contract.
           val why = if (partial) "partial-residency" else "over-budget"
           System.err.println(
-            f"[graft-index] DISK_ONLY demotion ($why): frame=${own.map(_.name).mkString("|")} ownMem=${own.map(_.memSize).sum / 1e6}%.1f MB storedTotal=${stored / 1e6}%.1f MB budget=${budget / 1e6}%.1f MB")
+            f"[graft-index] DISK_ONLY demotion ($why): frame=${own.map(_.name.linesIterator.next().take(80)).mkString("|")} ownMem=${own.map(_.memSize).sum / 1e6}%.1f MB storedTotal=${stored / 1e6}%.1f MB budget=${budget / 1e6}%.1f MB")
           d.unpersist(blocking = true)
           d.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
           d.count()
@@ -538,6 +538,40 @@ object Dedup {
     */
   val VerifyHashJoinMinDocs: Long = 100000L
 
+  /** Measured docset-index bytes per doc (441 B/doc at sf30 —
+    * SCALE.md r15 footprint table; 480 B with headroom): one byte-packed
+    * gram array (~0.43 KB) + doc_id + n per row.
+    */
+  private val DocsetRowBytes = 480L
+
+  /** Per-partition byte budget for the verify SHJ's BUILD side. The
+    * first live sf50 rung (r16) found the cliff this bounds: a
+    * LongToUnsafeRowMap grows its page by doubling, so a build
+    * partition just past 32 MB requests one 64 MB page — and when the
+    * dedup index set fully occupies the protected storage region,
+    * execution's guaranteed floor is (heap−300 MB)×0.6×0.5/32 tasks
+    * ≈ 36 MB, so every build task past that line dies with "Can't
+    * acquire 67108864 bytes" (bench_sf50_subset_shjfail_r16.json, 75
+    * task failures, both attempts). 24 MB/partition caps the growth
+    * request at 32 MB — under the floor with margin — and keeps every
+    * rung ≤ sf30 at the session default width (1.5 M docs × 480 B /
+    * 24 MB = 29 < 32), so the committed sf30 record is unchanged.
+    */
+  private val VerifyBuildPartitionBytes = 24L << 20
+
+  /** Counted width for the docsets index (the verify SHJ's build
+    * side): enough partitions that each build fits
+    * [[VerifyBuildPartitionBytes]], never below the session default,
+    * capped at 4096 (a corpus needing more should raise the session
+    * default — its cluster is sized differently anyway).
+    */
+  private[graft] def verifyBuildParts(spark: SparkSession, nDocs: Long): Int = {
+    val default = spark.sessionState.conf.numShufflePartitions
+    val need = (nDocs * DocsetRowBytes + VerifyBuildPartitionBytes - 1) /
+      VerifyBuildPartitionBytes
+    math.min(4096L, math.max(default.toLong, need)).toInt
+  }
+
   private val prefixCache = newCache()
 
   /** Memoized persisted PREFIX-VERIFY index: the df-filtered postings
@@ -644,10 +678,25 @@ object Dedup {
     * demotes it to disk if it tips the cached set past the protected
     * budget. At cluster scale this is the third table of the dedup
     * index family (postings, prefix ranks, arrays).
+    *
+    * Built at [[verifyBuildParts]]' counted width (r16): the verify
+    * SHJ builds its hash relation from these cached blocks AS
+    * PARTITIONED, so the width that keeps each build under the hash
+    * map's 64 MB growth cliff must be baked in HERE — at index-build
+    * time, one exchange paid once per (session, corpus) — not
+    * re-exchanged per query. At or below the default width the
+    * repartition is skipped and the frame keeps riding the prefix
+    * index's existing doc_id partitioning with no exchange at all
+    * (every rung ≤ sf30, byte-identical plan); past it the candidate
+    * stream follows to the same width through ENSURE_REQUIREMENTS.
     */
   def jaccardDocsets(spark: SparkSession, sfDir: String): DataFrame =
     memoized(docsetsCache, spark, sfDir) {
-      docsetsOf(jaccardPrefixIndex(spark, sfDir))
+      val d = docsetsOf(jaccardPrefixIndex(spark, sfDir))
+      val parts = verifyBuildParts(spark, documentCount(spark, sfDir))
+      if (parts > spark.sessionState.conf.numShufflePartitions)
+        d.repartition(parts, col("doc_id"))
+      else d
     }
 
   /** The candidate-pair frame `(a_id, b_id)` of [[jaccardFromRanked]]
