@@ -251,7 +251,8 @@ object Dedup {
     * to the corpus, served through the OS page cache (evictable under
     * pressure) instead of pinned heap.
     */
-  private final class IndexHolder(build: () => DataFrame, persistFrame: Boolean) {
+  private final class IndexHolder(build: () => DataFrame, persistFrame: Boolean,
+      label: String) {
     lazy val df: DataFrame = {
       val d = build()
       // The build itself stays outside the lock (builds may overlap);
@@ -287,7 +288,7 @@ object Dedup {
           // a leg's log — the judge's "which frames demoted" contract.
           val why = if (partial) "partial-residency" else "over-budget"
           System.err.println(
-            f"[graft-index] DISK_ONLY demotion ($why): frame=${own.map(_.name.linesIterator.next().take(80)).mkString("|")} ownMem=${own.map(_.memSize).sum / 1e6}%.1f MB storedTotal=${stored / 1e6}%.1f MB budget=${budget / 1e6}%.1f MB")
+            f"[graft-index] DISK_ONLY demotion ($why): frame=$label ownMem=${own.map(_.memSize).sum / 1e6}%.1f MB storedTotal=${stored / 1e6}%.1f MB budget=${budget / 1e6}%.1f MB")
           d.unpersist(blocking = true)
           d.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
           d.count()
@@ -361,7 +362,7 @@ object Dedup {
     * re-md5ing the corpus text per invocation.
     */
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
-    memoized(fpCache, spark, sfDir) {
+    memoized(fpCache, spark, sfDir, label = "fingerprints") {
       Tables.documents(spark, sfDir)
         .select(col("doc_id"), hash60(col("text")).as("fp60"))
     }
@@ -391,11 +392,12 @@ object Dedup {
     * unpersist call is needed or possible).
     */
   private def memoized(cache: IndexCache, spark: SparkSession, sfDir: String,
-      persistFrame: Boolean = true)(build: => DataFrame): DataFrame = {
+      persistFrame: Boolean = true, label: String = "index")(
+      build: => DataFrame): DataFrame = {
     allCaches.synchronized(allCaches.toList).foreach { c =>
       c.keySet.foreach { k => if (k._1.sparkContext.isStopped) c.remove(k) }
     }
-    val holder = new IndexHolder(() => build, persistFrame)
+    val holder = new IndexHolder(() => build, persistFrame, label)
     cache.putIfAbsent((spark, sfDir), holder).getOrElse(holder).df
   }
 
@@ -436,7 +438,7 @@ object Dedup {
     * persisted inverted-index table the text-dedup family reads.
     */
   def shingleIndex(spark: SparkSession, sfDir: String): DataFrame =
-    memoized(shingleIndexCache, spark, sfDir) {
+    memoized(shingleIndexCache, spark, sfDir, label = "shingle_index") {
       shingleIndexOf(Tables.documents(spark, sfDir))
     }
 
@@ -588,7 +590,7 @@ object Dedup {
     * [[prewarmTimed]].
     */
   def jaccardPrefixIndex(spark: SparkSession, sfDir: String): DataFrame =
-    memoized(prefixCache, spark, sfDir) {
+    memoized(prefixCache, spark, sfDir, label = "jaccard_prefix") {
       rankedOf(shingleIndex(spark, sfDir), Some(MaxShingleDf))
     }
 
@@ -691,7 +693,7 @@ object Dedup {
     * stream follows to the same width through ENSURE_REQUIREMENTS.
     */
   def jaccardDocsets(spark: SparkSession, sfDir: String): DataFrame =
-    memoized(docsetsCache, spark, sfDir) {
+    memoized(docsetsCache, spark, sfDir, label = "jaccard_docsets") {
       val d = docsetsOf(jaccardPrefixIndex(spark, sfDir))
       val parts = verifyBuildParts(spark, documentCount(spark, sfDir))
       if (parts > spark.sessionState.conf.numShufflePartitions)
@@ -855,7 +857,7 @@ object Dedup {
     * keeps alongside the documents.
     */
   def minHashSignatures(spark: SparkSession, sfDir: String): DataFrame =
-    memoized(sigCache, spark, sfDir) {
+    memoized(sigCache, spark, sfDir, label = "minhash_signatures") {
       minHashSignaturesOf(Tables.documents(spark, sfDir))
     }
 
@@ -874,7 +876,7 @@ object Dedup {
     * for semantics, [[pairCache]] for the caching contract).
     */
   def minHashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    memoized(pairCache, spark, sfDir) {
+    memoized(pairCache, spark, sfDir, label = "lsh_pairs") {
       val sig = minHashSignatures(spark, sfDir)
       // (doc_id, band, bucket) — one row per band via posexplode of the
       // 4 band keys, each key an md5 over that band's slots.
@@ -1130,7 +1132,7 @@ object Dedup {
   private val clusterCache = newCache()
 
   def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    memoized(clusterCache, spark, sfDir) {
+    memoized(clusterCache, spark, sfDir, label = "clusters") {
       buildNearDupClusters(spark, sfDir)
     }
 
