@@ -151,6 +151,27 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("resample grid generator is exchange-fed (never coalesced to one task)") {
+    // r16 root-cause pin: the grid bounds frame is tiny (one row per
+    // user), so without an explicit repartition AQE coalesces its
+    // exchange to one partition and the ~700x-amplifying
+    // explode(sequence(...)) generates the query's biggest frame
+    // single-threaded (measured: it dominated the sf30 wall in every
+    // sort-width regime). The explicit exchange must sit between the
+    // bounds aggregate and the Generate.
+    val plan = planOf(Relational.resampleFfill(spark, sf))
+    assert(plan.contains("explode(sequence"), plan.take(1500))
+    // The explicit repartition(N) plans as RoundRobinPartitioning —
+    // the only round-robin in this query — and must be the Generate's
+    // direct child in the tree (the bounds aggregate's own exchange
+    // is hash-partitioned and AQE-coalescible; this one is not).
+    assert(plan.contains("RoundRobinPartitioning"),
+      "grid explode must be fed by the explicit repartition:\n" + plan.take(2000))
+    assert("Generate \\(\\d+\\)\\n[^\\n]*Exchange \\(".r.findFirstIn(plan).isDefined,
+      "the Generate's direct child must be the repartition exchange:\n" +
+        plan.take(2000))
+  }
+
   test("top-k plans stay distributed: partial WindowGroupLimit and TakeOrderedAndProject") {
     // Top-5-per-group must push a PARTIAL group limit below the
     // exchange (map-side top-k; the shuffle carries <= k rows per
