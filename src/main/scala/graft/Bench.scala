@@ -81,15 +81,28 @@ object Bench {
     //   SPARK_GRAFT_CONF="k1=v1;k2=v2"
     sys.env.get("SPARK_GRAFT_CONF").foreach { kvs =>
       kvs.split(';').filter(_.nonEmpty).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_CONF entry '$kv' is not of the form key=value")
+        }
       }
     }
     spark.sparkContext.setLogLevel("WARN")
     // Self-describing A/B legs: the knob string lands in _meta so a
     // judge never has to infer which side of an A/B a file is.
+    // Proper JSON string escaping: a backslash or quote in the knob
+    // string must survive into _meta verbatim, not corrupt the sidecar
+    // or be silently rewritten.
+    def jsonStr(s: String): String =
+      s.flatMap {
+        case '\\' => "\\\\"
+        case '"'  => "\\\""
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c    => c.toString
+      }
     val confNote: String = sys.env.get("SPARK_GRAFT_CONF")
-      .map(v => s""", "conf": "${v.replace("\"", "'")}"""").getOrElse("")
+      .map(v => s""", "conf": "${jsonStr(v)}"""").getOrElse("")
     val metrics = new tools.StageMetricsListener
     spark.sparkContext.addSparkListener(metrics)
     def drain(): Unit =

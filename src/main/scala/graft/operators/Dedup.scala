@@ -250,9 +250,26 @@ object Dedup {
     * documented 100 TB posture — the index as a persisted table next
     * to the corpus, served through the OS page cache (evictable under
     * pressure) instead of pinned heap.
+    *
+    * WHICH frame demotes is a priority decision, not build order
+    * (r17). Past the knee, the r16 ladder demoted whatever happened
+    * to be under construction when the budget tripped — so the
+    * twice-read-per-query docsets arrays could land on disk (the
+    * measured ~1.4× per-unit verify tax at sf50) while the bigger,
+    * once-read shingle postings squatted in memory, and big frames
+    * built late could LRU-evict small hot frames that passed their
+    * own build-time check (the r16 `q_dedup_exact_fp` sf30 signature:
+    * identical 19.9 MB shuffle, both attempts ~3.2 s where r15 got a
+    * cached 1.05 s — the fingerprints blocks were silently gone).
+    * Now every over-budget build rebalances the whole resident set:
+    * demote the frame with the highest BYTES-PER-CONSUMER-READ
+    * (measured post-build bytes ÷ declared post-build reads per
+    * sweep) — the cheapest to serve from disk — until the set fits.
+    * `spark.graft.index.residencyPriority=off` restores build-order
+    * demotion for A/B reproduction.
     */
   private final class IndexHolder(build: () => DataFrame, persistFrame: Boolean,
-      label: String) {
+      label: String, readsPerSweep: Double) {
     lazy val df: DataFrame = {
       val d = build()
       // The build itself stays outside the lock (builds may overlap);
@@ -275,31 +292,94 @@ object Dedup {
         // frame's own post-build RDDInfo (the ids new since `before`,
         // well-defined under the lock) showing fewer cached than total
         // partitions is that signature, and demotes regardless of the
-        // byte total.
+        // byte total — it cannot fit even alone, so it is not a
+        // priority question.
         val own = infos.filterNot(i => before.contains(i.id))
         val partial = own.exists(i => i.numCachedPartitions < i.numPartitions)
-        // Heap bytes only: frames already demoted to disk must not
-        // keep consuming the budget, or one oversized frame would
-        // cascade-demote every small frame built after it.
-        val stored = infos.map(_.memSize).sum
-        val budget = indexStorageBudget(d.sparkSession)
-        if (partial || stored > budget) {
-          // Demotions are designed degradation and must be VISIBLE in
-          // a leg's log — the judge's "which frames demoted" contract.
-          val why = if (partial) "partial-residency" else "over-budget"
+        if (partial) {
           System.err.println(
-            f"[graft-index] DISK_ONLY demotion ($why): frame=$label ownMem=${own.map(_.memSize).sum / 1e6}%.1f MB storedTotal=${stored / 1e6}%.1f MB budget=${budget / 1e6}%.1f MB")
+            f"[graft-index] DISK_ONLY demotion (partial-residency): frame=$label ownMem=${own.map(_.memSize).sum / 1e6}%.1f MB")
           d.unpersist(blocking = true)
           d.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
           d.count()
+        } else {
+          IndexHolder.residents +=
+            IndexHolder.Resident(label, readsPerSweep, d, own.map(_.id).toSet)
+          IndexHolder.rebalance(d.sparkSession, trigger = label)
         }
       }
       d
     }
   }
 
+  /** Pure victim pick for the over-budget rebalance: the INDEX of the
+    * frame with the highest measured bytes-per-consumer-read — the
+    * one whose disk residency costs the least wall per sweep. Input
+    * tuples are (label, live cached bytes, declared post-build reads
+    * per sweep), in build order. Ties break toward the LATER frame
+    * (equal-cost frames demote newest-first, matching the build-order
+    * rule when priorities cannot decide).
+    */
+  private[graft] def demotionVictim(frames: Seq[(String, Long, Double)]): Int =
+    frames.zipWithIndex.maxBy { case ((_, bytes, reads), i) =>
+      (bytes / reads, i)
+    }._2
+
   private object IndexHolder {
     val demoteLock = new Object
+
+    /** A MEMORY_ONLY-resident index frame and the RDD ids its cached
+      * blocks live under (for live size attribution — re-read from
+      * getRDDStorageInfo at every rebalance, never estimated).
+      */
+    final case class Resident(label: String, readsPerSweep: Double,
+        df: DataFrame, rddIds: Set[Int])
+
+    /** All MEMORY_ONLY frames, every session. Guarded by
+      * [[demoteLock]]; stopped-session entries are swept on rebalance.
+      */
+    val residents = scala.collection.mutable.ArrayBuffer.empty[Resident]
+
+    /** Demote resident frames of `spark`'s context — highest live
+      * bytes-per-consumer-read first — until the session's stored
+      * heap bytes fit [[indexStorageBudget]]. Called under
+      * [[demoteLock]] after each build. A demotion recomputes the
+      * victim's lineage once (unpersist drops its blocks before the
+      * DISK_ONLY write); prewarm charges that to `index_build`, which
+      * is the honest place — the 100 TB analogue is writing the index
+      * table out next to the corpus.
+      */
+    def rebalance(spark: SparkSession, trigger: String): Unit = {
+      val sc = spark.sparkContext
+      residents.filterInPlace(r => !r.df.sparkSession.sparkContext.isStopped)
+      val budget = indexStorageBudget(spark)
+      val priorityOn = spark.conf.getOption("spark.graft.index.residencyPriority")
+        .forall(_ != "off")
+      var guard = residents.size + 1
+      while (guard > 0) {
+        guard -= 1
+        val infos = sc.getRDDStorageInfo
+        val stored = infos.map(_.memSize).sum
+        if (stored <= budget) return
+        val mine = residents.filter(_.df.sparkSession.sparkContext eq sc)
+        if (mine.isEmpty) return
+        def liveBytes(r: Resident): Long =
+          infos.filter(i => r.rddIds(i.id)).map(_.memSize).sum
+        // Build-order mode (A side): the newest frame — the one whose
+        // arrival tripped the budget — demotes, exactly the r16 rule.
+        val victim =
+          if (priorityOn)
+            mine(demotionVictim(
+              mine.map(r => (r.label, liveBytes(r), r.readsPerSweep)).toSeq))
+          else mine.last
+        System.err.println(
+          f"[graft-index] DISK_ONLY demotion (over-budget, trigger=$trigger, mode=${if (priorityOn) "priority" else "build-order"}): frame=${victim.label} bytesPerRead=${liveBytes(victim) / victim.readsPerSweep / 1e6}%.1f MB ownMem=${liveBytes(victim) / 1e6}%.1f MB reads=${victim.readsPerSweep}%.0f storedTotal=${stored / 1e6}%.1f MB budget=${budget / 1e6}%.1f MB")
+        victim.df.unpersist(blocking = true)
+        victim.df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        victim.df.count()
+        residents -= victim
+      }
+    }
   }
 
   /** Bytes the persisted index set may keep ON-HEAP before new frames
@@ -362,7 +442,12 @@ object Dedup {
     * re-md5ing the corpus text per invocation.
     */
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
-    memoized(fpCache, spark, sfDir, label = "fingerprints") {
+    // readsPerSweep: q_dedup_exact_fp + the incremental admission join
+    // + the funnel's group count — 3 post-build consumer reads, over a
+    // tiny 16 B/row frame, so priority demotion keeps it resident
+    // essentially forever (the r16 sf30 eviction regression's fix).
+    memoized(fpCache, spark, sfDir, label = "fingerprints",
+        readsPerSweep = 3.0) {
       Tables.documents(spark, sfDir)
         .select(col("doc_id"), hash60(col("text")).as("fp60"))
     }
@@ -392,12 +477,13 @@ object Dedup {
     * unpersist call is needed or possible).
     */
   private def memoized(cache: IndexCache, spark: SparkSession, sfDir: String,
-      persistFrame: Boolean = true, label: String = "index")(
+      persistFrame: Boolean = true, label: String = "index",
+      readsPerSweep: Double = 1.0)(
       build: => DataFrame): DataFrame = {
     allCaches.synchronized(allCaches.toList).foreach { c =>
       c.keySet.foreach { k => if (k._1.sparkContext.isStopped) c.remove(k) }
     }
-    val holder = new IndexHolder(() => build, persistFrame, label)
+    val holder = new IndexHolder(() => build, persistFrame, label, readsPerSweep)
     cache.putIfAbsent((spark, sfDir), holder).getOrElse(holder).df
   }
 
@@ -438,7 +524,12 @@ object Dedup {
     * persisted inverted-index table the text-dedup family reads.
     */
   def shingleIndex(spark: SparkSession, sfDir: String): DataFrame =
-    memoized(shingleIndexCache, spark, sfDir, label = "shingle_index") {
+    // readsPerSweep: post-build this big postings frame is read once
+    // (boilerplate coverage); jaccard reads the ranked prefix index
+    // instead, and the prefix build's own read is sunk at index time.
+    // One read over the largest frame in the set → first to disk.
+    memoized(shingleIndexCache, spark, sfDir, label = "shingle_index",
+        readsPerSweep = 1.0) {
       shingleIndexOf(Tables.documents(spark, sfDir))
     }
 
@@ -571,7 +662,10 @@ object Dedup {
     val default = spark.sessionState.conf.numShufflePartitions
     val need = (nDocs * DocsetRowBytes + VerifyBuildPartitionBytes - 1) /
       VerifyBuildPartitionBytes
-    math.min(4096L, math.max(default.toLong, need)).toInt
+    // Cap applies to the counted need only, so the documented "never
+    // below the session default" floor holds even when the session
+    // default itself exceeds the cap.
+    math.max(default.toLong, math.min(4096L, need)).toInt
   }
 
   private val prefixCache = newCache()
@@ -590,7 +684,11 @@ object Dedup {
     * [[prewarmTimed]].
     */
   def jaccardPrefixIndex(spark: SparkSession, sfDir: String): DataFrame =
-    memoized(prefixCache, spark, sfDir, label = "jaccard_prefix") {
+    // readsPerSweep: the jaccard candidate self-join reads the ranked
+    // frame twice (both sides of the prefix join); the docsets build
+    // read is sunk at index time.
+    memoized(prefixCache, spark, sfDir, label = "jaccard_prefix",
+        readsPerSweep = 2.0) {
       rankedOf(shingleIndex(spark, sfDir), Some(MaxShingleDf))
     }
 
@@ -693,7 +791,12 @@ object Dedup {
     * stream follows to the same width through ENSURE_REQUIREMENTS.
     */
   def jaccardDocsets(spark: SparkSession, sfDir: String): DataFrame =
-    memoized(docsetsCache, spark, sfDir, label = "jaccard_docsets") {
+    // readsPerSweep: the verify joins consume docsets TWICE per
+    // jaccard run (a-side and b-side) — the frame whose demotion the
+    // sf50 leg measured as the ~1.4× per-unit verify tax; priority
+    // demotion exists to keep exactly this frame resident.
+    memoized(docsetsCache, spark, sfDir, label = "jaccard_docsets",
+        readsPerSweep = 2.0) {
       val d = docsetsOf(jaccardPrefixIndex(spark, sfDir))
       val parts = verifyBuildParts(spark, documentCount(spark, sfDir))
       if (parts > spark.sessionState.conf.numShufflePartitions)
@@ -857,7 +960,10 @@ object Dedup {
     * keeps alongside the documents.
     */
   def minHashSignatures(spark: SparkSession, sfDir: String): DataFrame =
-    memoized(sigCache, spark, sfDir, label = "minhash_signatures") {
+    // readsPerSweep: post-build reads = the incremental C-tier slice;
+    // the pairs build's read is sunk at index time.
+    memoized(sigCache, spark, sfDir, label = "minhash_signatures",
+        readsPerSweep = 1.0) {
       minHashSignaturesOf(Tables.documents(spark, sfDir))
     }
 
@@ -876,7 +982,10 @@ object Dedup {
     * for semantics, [[pairCache]] for the caching contract).
     */
   def minHashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    memoized(pairCache, spark, sfDir, label = "lsh_pairs") {
+    // readsPerSweep: q_dedup_minhash + q_dedup_verified + the funnel's
+    // pair count — 3 post-build reads (the clusters build is sunk).
+    memoized(pairCache, spark, sfDir, label = "lsh_pairs",
+        readsPerSweep = 3.0) {
       val sig = minHashSignatures(spark, sfDir)
       // (doc_id, band, bucket) — one row per band via posexplode of the
       // 4 band keys, each key an md5 over that band's slots.
@@ -1132,7 +1241,11 @@ object Dedup {
   private val clusterCache = newCache()
 
   def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    memoized(clusterCache, spark, sfDir, label = "clusters") {
+    // readsPerSweep: q_dedup_cluster + best_keep + incremental's
+    // membership read + the funnel's cluster stats — 4 post-build
+    // reads.
+    memoized(clusterCache, spark, sfDir, label = "clusters",
+        readsPerSweep = 4.0) {
       buildNearDupClusters(spark, sfDir)
     }
 

@@ -400,10 +400,19 @@ object Relational {
     // four regimes under the exact bench harness.
     val fanOutMode = spark.conf.getOption("spark.graft.resample.fanOut")
       .getOrElse("off")
+    // An explicit integer pins the width, but only widths ABOVE the
+    // session default take effect (the repartition below is guarded by
+    // `parts > defaultParts` so small corpora stay AQE-coalescible);
+    // a pinned width at or under the default is a documented no-op.
     val parts = fanOutMode match {
       case "auto" => sortFanOut(spark, resampleRows(spark, sfDir), TaggedRowSortBytes)
       case "off"  => 0
-      case n      => n.toInt
+      case n      =>
+        try n.toInt
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.resample.fanOut must be 'auto', 'off', or an integer; got '$n'")
+        }
     }
     val defaultParts = spark.sessionState.conf.numShufflePartitions
     val fill = Window.partitionBy("user_id")

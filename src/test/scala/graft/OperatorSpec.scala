@@ -1111,5 +1111,31 @@ class OperatorSpec extends SparkSpec {
     assert(Dedup.verifyBuildParts(spark, 100L) ==
       spark.sessionState.conf.numShufflePartitions) // tiny corpus: default
     assert(Dedup.verifyBuildParts(spark, 1000000000L) == 4096)
+    // A session default ABOVE the cap is itself the floor (the r16
+    // advice fix: the cap applies to the counted need only).
+    val big = spark.newSession()
+    big.conf.set("spark.sql.shuffle.partitions", "8192")
+    assert(Dedup.verifyBuildParts(big, 100L) == 8192)
+  }
+
+  test("index residency priority: demote by bytes-per-consumer-read, not build order") {
+    // The r17 lever's decision kernel. Frames in build order, as at
+    // the sf50 knee: big once-read postings built BEFORE the smaller
+    // twice-read docsets and the tiny thrice-read fingerprints.
+    val frames = Seq(
+      ("fingerprints", 50L << 20, 3.0),      // ~17 MB/read
+      ("shingle_index", 2000L << 20, 1.0),   // 2000 MB/read — cheapest to disk
+      ("jaccard_docsets", 2400L << 20, 2.0)) // 1200 MB/read
+    // Build-order demotion would evict jaccard_docsets (newest);
+    // priority picks the postings frame, keeping both hot frames.
+    assert(frames(Dedup.demotionVictim(frames))._1 == "shingle_index")
+    // After the postings demote, the next victim is docsets (bytes
+    // per read still dominate), never the tiny fingerprints frame.
+    val rest = frames.filterNot(_._1 == "shingle_index")
+    assert(rest(Dedup.demotionVictim(rest))._1 == "jaccard_docsets")
+    // Equal cost ties break toward the NEWEST frame — degenerates to
+    // the r16 build-order rule when priorities cannot decide.
+    val tied = Seq(("a", 100L, 1.0), ("b", 100L, 1.0), ("c", 100L, 1.0))
+    assert(Dedup.demotionVictim(tied) == 2)
   }
 }
