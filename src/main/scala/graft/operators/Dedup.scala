@@ -236,20 +236,33 @@ object Dedup {
     *
     * Storage level is a MEASURED ladder, not a constant (r15). The r14
     * sf30 leg showed why: the index set outgrows the storage half of
-    * the unified memory pool there, and MEMORY_ONLY frames past that
+    * the unified memory pool there, and memory-cached frames past that
     * point are pure contention — execution memory is squeezed to its
     * protected floor for EVERY query in the session (the sf30 leg's
-    * spill-onset signature) while the overflow blocks are silently
-    * dropped and recomputed. So each frame persists MEMORY_ONLY, is
-    * materialized eagerly, and is DEMOTED to DISK_ONLY if the
-    * session's total stored bytes then exceed [[indexStorageBudget]]
-    * (the protected-storage region — what the memory manager
-    * guarantees storage may keep without starving execution). The
-    * check reads actual post-build block sizes, so no per-frame size
-    * estimate can drift. DISK_ONLY is the local analogue of the
-    * documented 100 TB posture — the index as a persisted table next
-    * to the corpus, served through the OS page cache (evictable under
-    * pressure) instead of pinned heap.
+    * spill-onset signature). So each frame persists MEMORY_AND_DISK,
+    * is materialized eagerly, and is DEMOTED to DISK_ONLY if the
+    * session's total memory-stored bytes then exceed
+    * [[indexStorageBudget]] (the protected-storage region — what the
+    * memory manager guarantees storage may keep without starving
+    * execution). The check reads actual post-build block sizes, so no
+    * per-frame size estimate can drift. DISK_ONLY is the local
+    * analogue of the documented 100 TB posture — the index as a
+    * persisted table next to the corpus, served through the OS page
+    * cache (evictable under pressure) instead of pinned heap.
+    *
+    * MEMORY_AND_DISK, not MEMORY_ONLY (r17): within the budget the
+    * two behave identically, but an LRU-evicted block (a sweep's
+    * broadcast insertions displace index blocks even when the set
+    * sits UNDER the protected region — total storage stays ≥
+    * protected, composition changes) falls to local disk and heals
+    * on the next read, instead of being silently dropped and
+    * recomputed per query. The r16 `q_dedup_exact_fp` sf30 signature
+    * — identical 19.9 MB shuffle, both attempts ~3.2 s where r15 got
+    * a cached 1.05 s — was exactly that silent recompute of the
+    * displaced fingerprints frame. This also retires the r16
+    * partial-residency demotion: blocks that never fit in memory now
+    * land disk-backed at build time (visible in the same ladder log),
+    * which is the behavior that branch existed to force.
     *
     * WHICH frame demotes is a priority decision, not build order
     * (r17). Past the knee, the r16 ladder demoted whatever happened
@@ -262,9 +275,27 @@ object Dedup {
     * identical 19.9 MB shuffle, both attempts ~3.2 s where r15 got a
     * cached 1.05 s — the fingerprints blocks were silently gone).
     * Now every over-budget build rebalances the whole resident set:
-    * demote the frame with the highest BYTES-PER-CONSUMER-READ
-    * (measured post-build bytes ÷ declared post-build reads per
-    * sweep) — the cheapest to serve from disk — until the set fits.
+    * demote FEWEST-READS-PER-SWEEP first (ties: larger frame first)
+    * until the set fits. The cost ratio makes this the principled
+    * order: demoting a frame frees `bytes` of budget and costs
+    * `reads × bytes` of disk re-reads per sweep, so cost per freed
+    * byte = reads — a once-read frame is always the cheapest way to
+    * free memory, regardless of size (the first r17 formulation
+    * ranked by bytes-per-read and measurably mis-picked: at sf50 it
+    * sent a twice-read 1.2 GB frame to disk while a once-read 1.0 GB
+    * frame stayed, paying 2.4 GB/sweep of disk reads to avoid 1.0).
+    * Ranking uses bytes CAPTURED at build (full residency), not live
+    * block sizes: LRU churn during later builds transiently deflates
+    * a frame's live bytes (measured: shingle postings read 572 of
+    * 1058 MB mid-prewarm at sf50, then healed), and a frame's
+    * steady-state cost of residency is its full size.
+    *
+    * The fit target is `budget × (1 − headroomFraction)` (knob
+    * `spark.graft.index.headroomFraction`, default 0 — with the
+    * MEMORY_AND_DISK heal path a transient LRU displacement costs a
+    * disk re-read, not a recompute, so reserving protected-region
+    * headroom against broadcast insertions is not worth evicting an
+    * index frame for; the knob remains for measurement).
     * `spark.graft.index.residencyPriority=off` restores build-order
     * demotion for A/B reproduction.
     */
@@ -281,99 +312,93 @@ object Dedup {
       if (persistFrame) IndexHolder.demoteLock.synchronized {
         val sc = d.sparkSession.sparkContext
         val before = sc.getRDDStorageInfo.map(_.id).toSet
-        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         d.count()
         val infos = sc.getRDDStorageInfo
-        // Partial residency (r16, closing the r15 advice item):
-        // MEMORY_ONLY blocks that did not fit are silently dropped and
-        // never appear in memSize, so an oversized frame could evade
-        // the byte-total check while paying silent per-query recompute
-        // — the exact pathology the ladder exists to eliminate. The
-        // frame's own post-build RDDInfo (the ids new since `before`,
-        // well-defined under the lock) showing fewer cached than total
-        // partitions is that signature, and demotes regardless of the
-        // byte total — it cannot fit even alone, so it is not a
-        // priority question.
+        // The frame's own post-build RDDInfo: the ids new since
+        // `before`, well-defined under the lock. Blocks that did not
+        // fit in memory sit disk-backed (diskSize below) — logged so
+        // a leg's record names build-time overflow, never silent.
         val own = infos.filterNot(i => before.contains(i.id))
-        val partial = own.exists(i => i.numCachedPartitions < i.numPartitions)
-        if (partial) {
-          System.err.println(
-            f"[graft-index] DISK_ONLY demotion (partial-residency): frame=$label ownMem=${own.map(_.memSize).sum / 1e6}%.1f MB")
-          d.unpersist(blocking = true)
-          d.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-          d.count()
-        } else {
-          IndexHolder.residents +=
-            IndexHolder.Resident(label, readsPerSweep, d, own.map(_.id).toSet)
-          IndexHolder.rebalance(d.sparkSession, trigger = label)
-        }
+        val ownMem = own.map(_.memSize).sum
+        val ownDisk = own.map(_.diskSize).sum
+        if (ownDisk > 0) System.err.println(
+          f"[graft-index] build overflow to disk: frame=$label mem=${ownMem / 1e6}%.1f MB disk=${ownDisk / 1e6}%.1f MB")
+        IndexHolder.residents += IndexHolder.Resident(label, readsPerSweep,
+          d, own.map(_.id).toSet, ownMem + ownDisk)
+        IndexHolder.rebalance(d.sparkSession, trigger = label)
       }
       d
     }
   }
 
   /** Pure victim pick for the over-budget rebalance: the INDEX of the
-    * frame with the highest measured bytes-per-consumer-read — the
-    * one whose disk residency costs the least wall per sweep. Input
-    * tuples are (label, live cached bytes, declared post-build reads
-    * per sweep), in build order. Ties break toward the LATER frame
-    * (equal-cost frames demote newest-first, matching the build-order
-    * rule when priorities cannot decide).
+    * frame whose demotion frees budget at the lowest disk-read cost.
+    * Demoting frees `bytes` and costs `reads × bytes` of DISK_ONLY
+    * re-reads per sweep — cost per freed byte = reads — so the order
+    * is fewest reads first; among equal read counts, the LARGER frame
+    * first (same cost ratio, frees more per demotion, fewer frames
+    * end up on disk); remaining ties break toward the LATER frame
+    * (degenerates to the build-order rule when priorities cannot
+    * decide). Input tuples are (label, build-time captured bytes,
+    * declared post-build reads per sweep), in build order.
     */
   private[graft] def demotionVictim(frames: Seq[(String, Long, Double)]): Int =
-    frames.zipWithIndex.maxBy { case ((_, bytes, reads), i) =>
-      (bytes / reads, i)
+    frames.zipWithIndex.minBy { case ((_, bytes, reads), i) =>
+      (reads, -bytes, -i)
     }._2
 
   private object IndexHolder {
     val demoteLock = new Object
 
-    /** A MEMORY_ONLY-resident index frame and the RDD ids its cached
-      * blocks live under (for live size attribution — re-read from
-      * getRDDStorageInfo at every rebalance, never estimated).
+    /** A MEMORY_ONLY-resident index frame: the RDD ids its cached
+      * blocks live under and its build-time measured bytes (full
+      * residency — the stable ranking size; live block sizes churn
+      * under LRU mid-prewarm).
       */
     final case class Resident(label: String, readsPerSweep: Double,
-        df: DataFrame, rddIds: Set[Int])
+        df: DataFrame, rddIds: Set[Int], bytes: Long)
 
     /** All MEMORY_ONLY frames, every session. Guarded by
       * [[demoteLock]]; stopped-session entries are swept on rebalance.
       */
     val residents = scala.collection.mutable.ArrayBuffer.empty[Resident]
 
-    /** Demote resident frames of `spark`'s context — highest live
-      * bytes-per-consumer-read first — until the session's stored
-      * heap bytes fit [[indexStorageBudget]]. Called under
-      * [[demoteLock]] after each build. A demotion recomputes the
-      * victim's lineage once (unpersist drops its blocks before the
-      * DISK_ONLY write); prewarm charges that to `index_build`, which
-      * is the honest place — the 100 TB analogue is writing the index
-      * table out next to the corpus.
+    /** Demote resident frames of `spark`'s context — fewest reads
+      * per sweep first, larger first among equals — until the
+      * session's stored heap bytes fit the headroom-adjusted
+      * [[indexStorageBudget]]. Called under [[demoteLock]] after each
+      * build. A demotion recomputes the victim's lineage once
+      * (unpersist drops its blocks before the DISK_ONLY write);
+      * prewarm charges that to `index_build`, which is the honest
+      * place — the 100 TB analogue is writing the index table out
+      * next to the corpus.
       */
     def rebalance(spark: SparkSession, trigger: String): Unit = {
       val sc = spark.sparkContext
       residents.filterInPlace(r => !r.df.sparkSession.sparkContext.isStopped)
-      val budget = indexStorageBudget(spark)
       val priorityOn = spark.conf.getOption("spark.graft.index.residencyPriority")
         .forall(_ != "off")
+      val headroom = spark.conf.getOption("spark.graft.index.headroomFraction")
+        .map(_.toDouble).getOrElse(0.0)
+      val target = (indexStorageBudget(spark) * (1.0 - headroom)).toLong
       var guard = residents.size + 1
       while (guard > 0) {
         guard -= 1
         val infos = sc.getRDDStorageInfo
         val stored = infos.map(_.memSize).sum
-        if (stored <= budget) return
+        if (stored <= target) return
         val mine = residents.filter(_.df.sparkSession.sparkContext eq sc)
         if (mine.isEmpty) return
-        def liveBytes(r: Resident): Long =
-          infos.filter(i => r.rddIds(i.id)).map(_.memSize).sum
         // Build-order mode (A side): the newest frame — the one whose
         // arrival tripped the budget — demotes, exactly the r16 rule.
         val victim =
           if (priorityOn)
             mine(demotionVictim(
-              mine.map(r => (r.label, liveBytes(r), r.readsPerSweep)).toSeq))
+              mine.map(r => (r.label, r.bytes, r.readsPerSweep)).toSeq))
           else mine.last
         System.err.println(
-          f"[graft-index] DISK_ONLY demotion (over-budget, trigger=$trigger, mode=${if (priorityOn) "priority" else "build-order"}): frame=${victim.label} bytesPerRead=${liveBytes(victim) / victim.readsPerSweep / 1e6}%.1f MB ownMem=${liveBytes(victim) / 1e6}%.1f MB reads=${victim.readsPerSweep}%.0f storedTotal=${stored / 1e6}%.1f MB budget=${budget / 1e6}%.1f MB")
+          f"[graft-index] DISK_ONLY demotion (over-budget, trigger=$trigger, mode=${if (priorityOn) "priority" else "build-order"}): frame=${victim.label} reads=${victim.readsPerSweep}%.0f builtMem=${victim.bytes / 1e6}%.1f MB storedTotal=${stored / 1e6}%.1f MB target=${target / 1e6}%.1f MB")
         victim.df.unpersist(blocking = true)
         victim.df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         victim.df.count()

@@ -1118,23 +1118,33 @@ class OperatorSpec extends SparkSpec {
     assert(Dedup.verifyBuildParts(big, 100L) == 8192)
   }
 
-  test("index residency priority: demote by bytes-per-consumer-read, not build order") {
-    // The r17 lever's decision kernel. Frames in build order, as at
-    // the sf50 knee: big once-read postings built BEFORE the smaller
-    // twice-read docsets and the tiny thrice-read fingerprints.
+  test("index residency priority: demote fewest-reads-first, larger-first among equals") {
+    // The r17 lever's decision kernel: demoting frees `bytes` and
+    // costs `reads × bytes` of disk re-reads per sweep, so cost per
+    // freed byte = reads. Frames in build order, the measured sf50
+    // shape: once-read postings built BEFORE the twice-read prefix
+    // and docsets frames and alongside the tiny thrice-read
+    // fingerprints.
     val frames = Seq(
-      ("fingerprints", 50L << 20, 3.0),      // ~17 MB/read
-      ("shingle_index", 2000L << 20, 1.0),   // 2000 MB/read — cheapest to disk
-      ("jaccard_docsets", 2400L << 20, 2.0)) // 1200 MB/read
-    // Build-order demotion would evict jaccard_docsets (newest);
-    // priority picks the postings frame, keeping both hot frames.
+      ("fingerprints", 40L << 20, 3.0),
+      ("shingle_index", 1058L << 20, 1.0),   // 1 read — cheapest per freed byte
+      ("jaccard_prefix", 1244L << 20, 2.0),
+      ("jaccard_docsets", 1108L << 20, 2.0),
+      ("minhash_signatures", 417L << 20, 1.0))
+    // Build-order demotion would evict the newest; reads-ascending
+    // picks the LARGER once-read frame, keeping both two-read verify
+    // frames (the measured sf50 mis-pick of the bytes-per-read
+    // formulation: 2.4 GB/sweep of disk reads to avoid 1.0).
     assert(frames(Dedup.demotionVictim(frames))._1 == "shingle_index")
-    // After the postings demote, the next victim is docsets (bytes
-    // per read still dominate), never the tiny fingerprints frame.
+    // Next victim among the rest: the remaining once-read frame,
+    // never the twice-read verify frames or the tiny hot frame.
     val rest = frames.filterNot(_._1 == "shingle_index")
-    assert(rest(Dedup.demotionVictim(rest))._1 == "jaccard_docsets")
-    // Equal cost ties break toward the NEWEST frame — degenerates to
-    // the r16 build-order rule when priorities cannot decide.
+    assert(rest(Dedup.demotionVictim(rest))._1 == "minhash_signatures")
+    // Equal reads: larger frame first (same cost ratio, fewer
+    // demotions); full ties break toward the NEWEST frame —
+    // degenerates to the r16 build-order rule.
+    val equalReads = Seq(("a", 200L, 1.0), ("b", 300L, 1.0), ("c", 250L, 1.0))
+    assert(Dedup.demotionVictim(equalReads) == 1)
     val tied = Seq(("a", 100L, 1.0), ("b", 100L, 1.0), ("c", 100L, 1.0))
     assert(Dedup.demotionVictim(tied) == 2)
   }
