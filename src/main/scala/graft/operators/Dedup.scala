@@ -312,7 +312,7 @@ object Dedup {
       if (persistFrame) IndexHolder.demoteLock.synchronized {
         val sc = d.sparkSession.sparkContext
         val before = sc.getRDDStorageInfo.map(_.id).toSet
-        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        d.persist(IndexHolder.cacheLevel(d.sparkSession))
         d.count()
         val infos = sc.getRDDStorageInfo
         // The frame's own post-build RDDInfo: the ids new since
@@ -350,6 +350,24 @@ object Dedup {
 
   private object IndexHolder {
     val demoteLock = new Object
+
+    /** Cache tier for in-budget frames. MEMORY_AND_DISK is the
+      * default (the heal path — see the class scaladoc);
+      * `spark.graft.index.cacheLevel=memory_only` restores the r16
+      * tier for A/B measurement: a displaced block is dropped free of
+      * charge (no evict-time disk write) and recomputed on the next
+      * read. The trade is measured, not assumed — eviction writes
+      * tax the spill-heavy queries that displace the index, while
+      * silent recomputes tax the queries that re-read it.
+      */
+    def cacheLevel(spark: SparkSession): org.apache.spark.storage.StorageLevel =
+      spark.conf.getOption("spark.graft.index.cacheLevel").map(_.toLowerCase) match {
+        case Some("memory_only") => org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+        case Some("memory_and_disk") | None =>
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        case Some(other) => throw new IllegalArgumentException(
+          s"spark.graft.index.cacheLevel must be memory_only or memory_and_disk; got '$other'")
+      }
 
     /** A MEMORY_ONLY-resident index frame: the RDD ids its cached
       * blocks live under and its build-time measured bytes (full
@@ -1543,6 +1561,16 @@ object Dedup {
     // q_dedup_incremental measure the same (post-build) plan and the
     // O(|batch|) hash cost lands in `index_build` with its peers.
     phase("batch_signatures")(batchSignatures(spark, sfDir).count())
+    // One leg-record line naming the post-prewarm resident set — the
+    // demote log names what LEFT memory; this names what stayed, so a
+    // rung's ladder state is reconstructible without a demotion.
+    IndexHolder.demoteLock.synchronized {
+      val mine = IndexHolder.residents
+        .filter(_.df.sparkSession.sparkContext eq spark.sparkContext)
+      val stored = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+      System.err.println(
+        f"[graft-index] resident after prewarm: ${mine.map(r => f"${r.label}=${r.bytes / 1e6}%.1f MB(x${r.readsPerSweep}%.0f)").mkString(", ")} storedMem=${stored / 1e6}%.1f MB budget=${indexStorageBudget(spark) / 1e6}%.1f MB")
+    }
     out.toSeq
   }
 
