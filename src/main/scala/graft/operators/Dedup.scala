@@ -250,19 +250,26 @@ object Dedup {
     * persisted table next to the corpus, served through the OS page
     * cache (evictable under pressure) instead of pinned heap.
     *
-    * MEMORY_AND_DISK, not MEMORY_ONLY (r17): within the budget the
-    * two behave identically, but an LRU-evicted block (a sweep's
-    * broadcast insertions displace index blocks even when the set
-    * sits UNDER the protected region — total storage stays ≥
-    * protected, composition changes) falls to local disk and heals
-    * on the next read, instead of being silently dropped and
-    * recomputed per query. The r16 `q_dedup_exact_fp` sf30 signature
-    * — identical 19.9 MB shuffle, both attempts ~3.2 s where r15 got
-    * a cached 1.05 s — was exactly that silent recompute of the
-    * displaced fingerprints frame. This also retires the r16
-    * partial-residency demotion: blocks that never fit in memory now
-    * land disk-backed at build time (visible in the same ladder log),
-    * which is the behavior that branch existed to force.
+    * The in-memory tier is SIZE-TIERED, both sides measured (r17).
+    * Blocks get LRU-displaced even when the set sits UNDER the
+    * protected region (a sweep's broadcast insertions displace index
+    * blocks — total storage stays ≥ protected, composition changes),
+    * and the two tiers fail differently under displacement:
+    * MEMORY_ONLY drops the block free of charge but silently
+    * recomputes the frame's lineage on the next read (the r16
+    * `q_dedup_exact_fp` sf30 signature — identical 19.9 MB shuffle,
+    * both attempts ~3.2 s where r15 got a cached 1.05 s; healing it
+    * with MEMORY_AND_DISK read 0.93 s), while MEMORY_AND_DISK heals
+    * from disk but pays an eviction-time WRITE of every displaced
+    * byte — measured at sf30 as a 34–44% tax on the spill-heavy
+    * queries whose memory claw does the displacing (tier A/B legs:
+    * jaccard 27.1 vs 36.4 s, simhash 57.3 vs 82.3 s). So `auto`
+    * (default) persists MEMORY_ONLY, measures, and upgrades only
+    * frames ≤ `spark.graft.index.healTierMaxMB` (64) to
+    * MEMORY_AND_DISK: a small frame's eviction writes are noise, its
+    * per-displacement recompute is the real cost; a big frame is the
+    * opposite. `spark.graft.index.cacheLevel=memory_only|
+    * memory_and_disk` forces one tier for A/B reproduction.
     *
     * WHICH frame demotes is a priority decision, not build order
     * (r17). Past the knee, the r16 ladder demoted whatever happened
@@ -291,11 +298,19 @@ object Dedup {
     * steady-state cost of residency is its full size.
     *
     * The fit target is `budget × (1 − headroomFraction)` (knob
-    * `spark.graft.index.headroomFraction`, default 0 — with the
-    * MEMORY_AND_DISK heal path a transient LRU displacement costs a
-    * disk re-read, not a recompute, so reserving protected-region
-    * headroom against broadcast insertions is not worth evicting an
-    * index frame for; the knob remains for measurement).
+    * `spark.graft.index.headroomFraction`, default 0.35): an index
+    * set filling the protected region exactly leaves zero slack, so
+    * every heavy query's memory claw displaces index blocks and
+    * every broadcast insertion LRU-churns the set. The default is
+    * MEASURED, not assumed — the sf30 tier A/B's headroom side beat
+    * both zero-headroom sides on the spill-heavy ladder readers
+    * (jaccard 23.0 s vs 27.1 memory_only / 36.4 memory_and_disk)
+    * because preemptively demoting the once-read frames freed
+    * execution memory worth more than their residency; the sf50
+    * A/B/B2 triple showed the same negative correlation between
+    * resident bytes and wall. Demotion only fires when the set
+    * actually crosses the shrunk target, so small corpora (sf ≤ 10
+    * here) never demote regardless.
     * `spark.graft.index.residencyPriority=off` restores build-order
     * demotion for A/B reproduction.
     */
@@ -310,23 +325,64 @@ object Dedup {
       // blocks land, letting both stay MEMORY_ONLY past the budget.
       // The lock also makes before/after RDD-id attribution sound.
       if (persistFrame) IndexHolder.demoteLock.synchronized {
-        val sc = d.sparkSession.sparkContext
+        val spark = d.sparkSession
+        val sc = spark.sparkContext
+        val mode = spark.conf.getOption("spark.graft.index.cacheLevel")
+          .map(_.toLowerCase).getOrElse("auto")
+        val firstLevel = mode match {
+          case "memory_and_disk" =>
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+          case "auto" | "memory_only" =>
+            org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+          case other => throw new IllegalArgumentException(
+            s"spark.graft.index.cacheLevel must be auto, memory_only or memory_and_disk; got '$other'")
+        }
         val before = sc.getRDDStorageInfo.map(_.id).toSet
-        d.persist(IndexHolder.cacheLevel(d.sparkSession))
+        d.persist(firstLevel)
         d.count()
-        val infos = sc.getRDDStorageInfo
-        // The frame's own post-build RDDInfo: the ids new since
-        // `before`, well-defined under the lock. Blocks that did not
-        // fit in memory sit disk-backed (diskSize below) — logged so
-        // a leg's record names build-time overflow, never silent.
-        val own = infos.filterNot(i => before.contains(i.id))
-        val ownMem = own.map(_.memSize).sum
-        val ownDisk = own.map(_.diskSize).sum
-        if (ownDisk > 0) System.err.println(
-          f"[graft-index] build overflow to disk: frame=$label mem=${ownMem / 1e6}%.1f MB disk=${ownDisk / 1e6}%.1f MB")
-        IndexHolder.residents += IndexHolder.Resident(label, readsPerSweep,
-          d, own.map(_.id).toSet, ownMem + ownDisk)
-        IndexHolder.rebalance(d.sparkSession, trigger = label)
+        var own = sc.getRDDStorageInfo.filterNot(i => before.contains(i.id))
+        val ownBytes = own.map(i => i.memSize + i.diskSize).sum
+        // Partial residency (MEMORY_ONLY tiers): blocks that did not
+        // fit were silently dropped — the frame cannot fit even
+        // alone, so it goes straight to DISK_ONLY (r16 rule). Under
+        // MEMORY_AND_DISK the overflow sits disk-backed instead and
+        // is only logged.
+        val partial = firstLevel.useMemory && !firstLevel.useDisk &&
+          own.exists(i => i.numCachedPartitions < i.numPartitions)
+        if (partial) {
+          System.err.println(
+            f"[graft-index] DISK_ONLY demotion (partial-residency): frame=$label ownMem=${ownBytes / 1e6}%.1f MB")
+          d.unpersist(blocking = true)
+          d.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          d.count()
+        } else {
+          val ownDisk = own.map(_.diskSize).sum
+          if (ownDisk > 0) System.err.println(
+            f"[graft-index] build overflow to disk: frame=$label mem=${own.map(_.memSize).sum / 1e6}%.1f MB disk=${ownDisk / 1e6}%.1f MB")
+          // auto tier: small frames upgrade to the heal path (their
+          // eviction writes are negligible and their per-displacement
+          // recompute is the real cost — the exact_fp signature); big
+          // frames stay MEMORY_ONLY so a heavy query's memory claw
+          // drops them for free instead of writing GBs mid-query (the
+          // measured sf30 tier A/B: jaccard 27.1 vs 36.4 s, simhash
+          // 57.3 vs 82.3 s, memory_only vs memory_and_disk). The
+          // upgrade recompute is charged once to index_build and is
+          // by construction a ≤healTierMaxMB frame's build.
+          val healMax = spark.conf.getOption("spark.graft.index.healTierMaxMB")
+            .map(_.toLong).getOrElse(64L) << 20
+          if (mode == "auto" && ownBytes <= healMax) {
+            d.unpersist(blocking = true)
+            val before2 = sc.getRDDStorageInfo.map(_.id).toSet
+            d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            d.count()
+            own = sc.getRDDStorageInfo.filterNot(i => before2.contains(i.id))
+            System.err.println(
+              f"[graft-index] heal-tier upgrade (MEMORY_AND_DISK): frame=$label bytes=${ownBytes / 1e6}%.1f MB")
+          }
+          IndexHolder.residents += IndexHolder.Resident(label, readsPerSweep,
+            d, own.map(_.id).toSet, ownBytes)
+          IndexHolder.rebalance(spark, trigger = label)
+        }
       }
       d
     }
@@ -351,23 +407,6 @@ object Dedup {
   private object IndexHolder {
     val demoteLock = new Object
 
-    /** Cache tier for in-budget frames. MEMORY_AND_DISK is the
-      * default (the heal path — see the class scaladoc);
-      * `spark.graft.index.cacheLevel=memory_only` restores the r16
-      * tier for A/B measurement: a displaced block is dropped free of
-      * charge (no evict-time disk write) and recomputed on the next
-      * read. The trade is measured, not assumed — eviction writes
-      * tax the spill-heavy queries that displace the index, while
-      * silent recomputes tax the queries that re-read it.
-      */
-    def cacheLevel(spark: SparkSession): org.apache.spark.storage.StorageLevel =
-      spark.conf.getOption("spark.graft.index.cacheLevel").map(_.toLowerCase) match {
-        case Some("memory_only") => org.apache.spark.storage.StorageLevel.MEMORY_ONLY
-        case Some("memory_and_disk") | None =>
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        case Some(other) => throw new IllegalArgumentException(
-          s"spark.graft.index.cacheLevel must be memory_only or memory_and_disk; got '$other'")
-      }
 
     /** A MEMORY_ONLY-resident index frame: the RDD ids its cached
       * blocks live under and its build-time measured bytes (full
@@ -398,7 +437,7 @@ object Dedup {
       val priorityOn = spark.conf.getOption("spark.graft.index.residencyPriority")
         .forall(_ != "off")
       val headroom = spark.conf.getOption("spark.graft.index.headroomFraction")
-        .map(_.toDouble).getOrElse(0.0)
+        .map(_.toDouble).getOrElse(0.35)
       val target = (indexStorageBudget(spark) * (1.0 - headroom)).toLong
       var guard = residents.size + 1
       while (guard > 0) {
