@@ -264,12 +264,18 @@ object Dedup {
     * byte — measured at sf30 as a 34–44% tax on the spill-heavy
     * queries whose memory claw does the displacing (tier A/B legs:
     * jaccard 27.1 vs 36.4 s, simhash 57.3 vs 82.3 s). So `auto`
-    * (default) persists MEMORY_ONLY, measures, and upgrades only
-    * frames ≤ `spark.graft.index.healTierMaxMB` (64) to
-    * MEMORY_AND_DISK: a small frame's eviction writes are noise, its
-    * per-displacement recompute is the real cost; a big frame is the
-    * opposite. `spark.graft.index.cacheLevel=memory_only|
-    * memory_and_disk` forces one tier for A/B reproduction.
+    * (default) tiers by declared read count and measured size:
+    * frames read ≥2× per sweep heal (a drop there recomputes the
+    * lineage MID-QUERY — the verify reads docsets twice inside the
+    * very plan whose memory claw displaces it; measured 46.0 vs
+    * 23.0 s on the sf30 jaccard subset); once-read frames ≤
+    * `spark.graft.index.healTierMaxMB` (64) upgrade to the heal tier
+    * after measuring (eviction writes are noise at that size, the
+    * recompute is the cost); big once-read frames stay MEMORY_ONLY —
+    * dropped free under pressure, and past the headroom knee they
+    * are DISK_ONLY anyway. `spark.graft.index.cacheLevel=
+    * memory_only|memory_and_disk` forces one tier for A/B
+    * reproduction.
     *
     * WHICH frame demotes is a priority decision, not build order
     * (r17). Past the knee, the r16 ladder demoted whatever happened
@@ -329,8 +335,18 @@ object Dedup {
         val sc = spark.sparkContext
         val mode = spark.conf.getOption("spark.graft.index.cacheLevel")
           .map(_.toLowerCase).getOrElse("auto")
+        // auto: a frame read MORE than once per sweep goes straight
+        // to the heal tier — its displacement risk is intra-query
+        // (the jaccard verify reads docsets twice inside one plan
+        // whose own memory claw does the displacing), and a dropped
+        // block there recomputes the whole lineage MID-QUERY, a
+        // cascade measured at 46.0 vs 23.0 s on the sf30 jaccard
+        // subset (MEMORY_ONLY vs healed two-read frames, identical
+        // resident sets). Read count is declared, so no double-build.
         val firstLevel = mode match {
           case "memory_and_disk" =>
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+          case "auto" if readsPerSweep >= 2.0 =>
             org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
           case "auto" | "memory_only" =>
             org.apache.spark.storage.StorageLevel.MEMORY_ONLY
@@ -359,18 +375,21 @@ object Dedup {
           val ownDisk = own.map(_.diskSize).sum
           if (ownDisk > 0) System.err.println(
             f"[graft-index] build overflow to disk: frame=$label mem=${own.map(_.memSize).sum / 1e6}%.1f MB disk=${ownDisk / 1e6}%.1f MB")
-          // auto tier: small frames upgrade to the heal path (their
-          // eviction writes are negligible and their per-displacement
-          // recompute is the real cost — the exact_fp signature); big
-          // frames stay MEMORY_ONLY so a heavy query's memory claw
-          // drops them for free instead of writing GBs mid-query (the
+          // auto tier, once-read frames: small ones upgrade to the
+          // heal path after measuring (their eviction writes are
+          // negligible and their per-displacement recompute is the
+          // real cost — the exact_fp signature); big once-read frames
+          // stay MEMORY_ONLY so a heavy query's memory claw drops
+          // them for free instead of writing GBs mid-query (the
           // measured sf30 tier A/B: jaccard 27.1 vs 36.4 s, simhash
-          // 57.3 vs 82.3 s, memory_only vs memory_and_disk). The
-          // upgrade recompute is charged once to index_build and is
-          // by construction a ≤healTierMaxMB frame's build.
+          // 57.3 vs 82.3 s, memory_only vs memory_and_disk
+          // everywhere) — and past the headroom knee they demote to
+          // DISK_ONLY anyway. The upgrade recompute is charged once
+          // to index_build and is by construction a ≤healTierMaxMB
+          // frame's build.
           val healMax = spark.conf.getOption("spark.graft.index.healTierMaxMB")
             .map(_.toLong).getOrElse(64L) << 20
-          if (mode == "auto" && ownBytes <= healMax) {
+          if (mode == "auto" && readsPerSweep < 2.0 && ownBytes <= healMax) {
             d.unpersist(blocking = true)
             val before2 = sc.getRDDStorageInfo.map(_.id).toSet
             d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
