@@ -46,11 +46,15 @@ with DAG(
         java_class="graft.tools.RunPipeline",
         application_args=[
             "gold", "s3a://silver", "s3a://gold",
-            # Opt-in bucketed silver re-layout (0 = off): set the
-            # `silver_buckets` Airflow Variable to bucket+sort the two
-            # order_id fact tables once per ingest, making every gold
-            # rebuild's fact join exchange-free (OlistVendas.bucketedSilver).
-            "--bucketed-silver={{ var.value.get('silver_buckets', '0') }}",
+            # Bucketed silver re-layout — the DEFAULT at-scale path
+            # since r18 (wins at every measured rung; the one-time
+            # bucket+sort of the two order_id fact tables makes every
+            # gold rebuild's fact join exchange-free,
+            # OlistVendas.bucketedSilver). Width here mirrors the code
+            # default (VendasMart.SilverBuckets = 32); set the
+            # `silver_buckets` Airflow Variable to widen, or 0 to fall
+            # back to the plain no-layout form.
+            "--bucketed-silver={{ var.value.get('silver_buckets', '32') }}",
             "{{ var.value.mysql_jdbc_url }}", "TB_VENDAS",
         ],
         conf=S3A_CONF,

@@ -197,14 +197,19 @@ def main():
 
     jar = jar_path()
     spark_submit(jar, "STAGE OK ingest", "ingest", bronze, silver)
-    spark_submit(jar, "STAGE OK gold", "gold", silver, gold, derby, "TB_VENDAS")
+    # Plain (no-layout) leg: bucketed silver became the gold default in
+    # r18, so the fallback form is now the one that needs the explicit
+    # flag.
+    spark_submit(jar, "STAGE OK gold", "gold", silver, gold,
+                 "--plain-silver", derby, "TB_VENDAS")
     check = spark_submit(jar, "STAGE OK check", "check", gold, derby, "TB_VENDAS")
 
-    # The opt-in bucketed-silver leg (the DAG's `silver_buckets`
-    # variable): same gold stage through the same entry point, fact
-    # sides re-laid-out bucketed+sorted on order_id first. The mirror
-    # row count must agree with the plain leg — the layout is a
-    # physical re-organization, never a semantic change.
+    # The bucketed-silver leg (the DEFAULT path; width pinned to 4 for
+    # the 3-row CI corpus via the same override the DAG's
+    # `silver_buckets` variable uses): same gold stage through the same
+    # entry point, fact sides re-laid-out bucketed+sorted on order_id
+    # first. The mirror row count must agree with the plain leg — the
+    # layout is a physical re-organization, never a semantic change.
     gold_b = os.path.join(work, "gold_bucketed")
     spark_submit(jar, "STAGE OK gold", "gold", silver, gold_b,
                  "--bucketed-silver=4", derby, "TB_VENDAS")

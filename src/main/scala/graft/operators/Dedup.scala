@@ -301,7 +301,13 @@ object Dedup {
     * block sizes: LRU churn during later builds transiently deflates
     * a frame's live bytes (measured: shingle postings read 572 of
     * 1058 MB mid-prewarm at sf50, then healed), and a frame's
-    * steady-state cost of residency is its full size.
+    * steady-state cost of residency is its full size. The captured
+    * size is the MEMORY-resident portion only (r18): a heal-tier
+    * frame whose blocks overflowed to disk at build occupies no heap,
+    * so demoting it frees nothing — it must not rank by its disk
+    * footprint, and frames whose live heap bytes have since dropped
+    * to ~0 are skipped outright (a demotion is guaranteed to free
+    * budget).
     *
     * The fit target is `budget × (1 − headroomFraction)` (knob
     * `spark.graft.index.headroomFraction`, default 0.35): an index
@@ -387,8 +393,8 @@ object Dedup {
           // DISK_ONLY anyway. The upgrade recompute is charged once
           // to index_build and is by construction a ≤healTierMaxMB
           // frame's build.
-          val healMax = spark.conf.getOption("spark.graft.index.healTierMaxMB")
-            .map(_.toLong).getOrElse(64L) << 20
+          val healMax = IndexHolder.confLong(spark,
+            "spark.graft.index.healTierMaxMB", 64L, min = 0L) << 20
           if (mode == "auto" && readsPerSweep < 2.0 && ownBytes <= healMax) {
             d.unpersist(blocking = true)
             val before2 = sc.getRDDStorageInfo.map(_.id).toSet
@@ -399,7 +405,7 @@ object Dedup {
               f"[graft-index] heal-tier upgrade (MEMORY_AND_DISK): frame=$label bytes=${ownBytes / 1e6}%.1f MB")
           }
           IndexHolder.residents += IndexHolder.Resident(label, readsPerSweep,
-            d, own.map(_.id).toSet, ownBytes)
+            d, own.map(_.id).toSet, ownBytes, own.map(_.memSize).sum)
           IndexHolder.rebalance(spark, trigger = label)
         }
       }
@@ -415,25 +421,69 @@ object Dedup {
     * first (same cost ratio, frees more per demotion, fewer frames
     * end up on disk); remaining ties break toward the LATER frame
     * (degenerates to the build-order rule when priorities cannot
-    * decide). Input tuples are (label, build-time captured bytes,
-    * declared post-build reads per sweep), in build order.
+    * decide). Input tuples are (label, build-time captured
+    * MEMORY-RESIDENT bytes, declared post-build reads per sweep), in
+    * build order. Memory-resident (memSize) rather than mem+disk
+    * (r18, advice fix): the rebalance loop's exit condition counts
+    * heap bytes only, and a MEMORY_AND_DISK frame whose blocks
+    * largely overflowed to disk at build would otherwise rank as
+    * large, get picked, and free almost nothing — its unpersist also
+    * drops the disk blocks, forcing a full lineage recompute for zero
+    * budget gained.
     */
   private[graft] def demotionVictim(frames: Seq[(String, Long, Double)]): Int =
     frames.zipWithIndex.minBy { case ((_, bytes, reads), i) =>
       (reads, -bytes, -i)
     }._2
 
-  private object IndexHolder {
+  private[graft] object IndexHolder {
     val demoteLock = new Object
 
 
-    /** A MEMORY_ONLY-resident index frame: the RDD ids its cached
+    /** A memory-tier-resident index frame: the RDD ids its cached
       * blocks live under and its build-time measured bytes (full
       * residency — the stable ranking size; live block sizes churn
-      * under LRU mid-prewarm).
+      * under LRU mid-prewarm). `bytes` is mem+disk as captured at
+      * build (logging / cost bookkeeping); `memBytes` is the
+      * memory-resident portion only — the ranking size, because a
+      * demotion can only ever free heap (r18 advice fix: a
+      * MEMORY_AND_DISK frame that overflowed to disk at build must
+      * not rank by its disk footprint).
       */
     final case class Resident(label: String, readsPerSweep: Double,
-        df: DataFrame, rddIds: Set[Int], bytes: Long)
+        df: DataFrame, rddIds: Set[Int], bytes: Long, memBytes: Long)
+
+    /** Validated long knob: names the conf key on a malformed or
+      * out-of-range value instead of surfacing a bare
+      * NumberFormatException (same contract as the resample fanOut
+      * knob, `Relational.scala`).
+      */
+    def confLong(spark: SparkSession, key: String, default: Long,
+        min: Long): Long =
+      spark.conf.getOption(key).map { v =>
+        val n = try v.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$key must be an integer; got '$v'")
+        }
+        if (n < min) throw new IllegalArgumentException(
+          s"$key must be >= $min; got '$v'")
+        n
+      }.getOrElse(default)
+
+    /** Validated headroom knob: must parse as a double in [0, 1) —
+      * a fraction >= 1 makes the fit target <= 0 and would demote the
+      * ENTIRE resident set, multi-read verify frames included.
+      */
+    def confHeadroom(spark: SparkSession): Double =
+      spark.conf.getOption("spark.graft.index.headroomFraction").map { v =>
+        val h = try v.toDouble catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.index.headroomFraction must be a number in [0, 1); got '$v'")
+        }
+        if (h < 0.0 || h >= 1.0 || h.isNaN) throw new IllegalArgumentException(
+          s"spark.graft.index.headroomFraction must be in [0, 1); got '$v'")
+        h
+      }.getOrElse(0.35)
 
     /** All MEMORY_ONLY frames, every session. Guarded by
       * [[demoteLock]]; stopped-session entries are swept on rebalance.
@@ -455,8 +505,7 @@ object Dedup {
       residents.filterInPlace(r => !r.df.sparkSession.sparkContext.isStopped)
       val priorityOn = spark.conf.getOption("spark.graft.index.residencyPriority")
         .forall(_ != "off")
-      val headroom = spark.conf.getOption("spark.graft.index.headroomFraction")
-        .map(_.toDouble).getOrElse(0.35)
+      val headroom = confHeadroom(spark)
       val target = (indexStorageBudget(spark) * (1.0 - headroom)).toLong
       var guard = residents.size + 1
       while (guard > 0) {
@@ -464,17 +513,27 @@ object Dedup {
         val infos = sc.getRDDStorageInfo
         val stored = infos.map(_.memSize).sum
         if (stored <= target) return
-        val mine = residents.filter(_.df.sparkSession.sparkContext eq sc)
+        // Candidates must actually free heap when demoted: a frame
+        // whose blocks live (almost) entirely on disk — MEMORY_AND_DISK
+        // build overflow, or full LRU displacement since build — frees
+        // ~nothing, and its unpersist drops the disk copy too, forcing
+        // a full lineage recompute for zero budget gained (r18 advice
+        // fix). Gate on CURRENT live memSize so the guarantee holds at
+        // decision time, not just at build time.
+        val liveMem = infos.map(i => i.id -> i.memSize).toMap
+        val mine = residents.filter(r =>
+          (r.df.sparkSession.sparkContext eq sc) &&
+            r.rddIds.iterator.map(liveMem.getOrElse(_, 0L)).sum > (1L << 20))
         if (mine.isEmpty) return
         // Build-order mode (A side): the newest frame — the one whose
         // arrival tripped the budget — demotes, exactly the r16 rule.
         val victim =
           if (priorityOn)
             mine(demotionVictim(
-              mine.map(r => (r.label, r.bytes, r.readsPerSweep)).toSeq))
+              mine.map(r => (r.label, r.memBytes, r.readsPerSweep)).toSeq))
           else mine.last
         System.err.println(
-          f"[graft-index] DISK_ONLY demotion (over-budget, trigger=$trigger, mode=${if (priorityOn) "priority" else "build-order"}): frame=${victim.label} reads=${victim.readsPerSweep}%.0f builtMem=${victim.bytes / 1e6}%.1f MB storedTotal=${stored / 1e6}%.1f MB target=${target / 1e6}%.1f MB")
+          f"[graft-index] DISK_ONLY demotion (over-budget, trigger=$trigger, mode=${if (priorityOn) "priority" else "build-order"}): frame=${victim.label} reads=${victim.readsPerSweep}%.0f builtMem=${victim.memBytes / 1e6}%.1f MB builtTotal=${victim.bytes / 1e6}%.1f MB storedTotal=${stored / 1e6}%.1f MB target=${target / 1e6}%.1f MB")
         victim.df.unpersist(blocking = true)
         victim.df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
         victim.df.count()

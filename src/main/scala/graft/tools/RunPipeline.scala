@@ -44,16 +44,16 @@ object RunPipeline {
         println(s"STAGE OK ingest bronze=$bronze silver=$silver")
       }
     case "gold" :: silver :: gold :: rest0 =>
-      // Opt-in bucketed silver re-layout: `--bucketed-silver[=N]`
-      // anywhere after the roots (N=0 disables, so an orchestration
-      // template can pass the flag unconditionally and toggle via a
-      // variable). Remaining positionals are the optional JDBC target.
-      val (flags, rest) = rest0.partition(_.startsWith("--bucketed-silver"))
-      val buckets = flags.lastOption.flatMap { f =>
-        val n = f.split('=').lift(1).map(_.toInt)
-          .getOrElse(operators.VendasMart.SilverBuckets)
-        if (n > 0) Some(n) else None
-      }
+      // Bucketed silver re-layout is the DEFAULT at-scale path (r18
+      // flip; it wins at every measured rung since r11 — sf30: 100.8
+      // vs 122.3 s — by making the fact join exchange-free, and the
+      // one-time layout cost amortizes over every downstream gold
+      // rebuild). `--bucketed-silver=N` overrides the width;
+      // `--plain-silver` (or `--bucketed-silver=0`) keeps the plain
+      // no-layout form for no-warehouse targets or tiny corpora.
+      // Remaining positionals are the optional JDBC target.
+      val (flags, rest) = rest0.partition(isLayoutFlag)
+      val buckets = bucketsOf(flags)
       if (rest.length != 0 && rest.length != 2) { usage(); sys.exit(2) }
       withSpark { s =>
         val jdbc = rest match {
@@ -80,17 +80,14 @@ object RunPipeline {
     case "mart" :: sfDir :: gold :: rest0 =>
       // Registry-side (harness star schema) gold build through the
       // production entry point, for end-to-end layout A/Bs at real
-      // scale: with `--bucketed-silver[=N]` the fact sides are
-      // re-laid-out first (timed separately — that cost amortizes over
-      // every downstream build) and the mart reads the bucketed
-      // catalog tables.
-      val (flags, rest) = rest0.partition(_.startsWith("--bucketed-silver"))
+      // scale. Bucketed silver is the default (r18 flip, same
+      // rationale as `gold`): the fact sides are re-laid-out first
+      // (timed separately — that cost amortizes over every downstream
+      // build) and the mart reads the bucketed catalog tables.
+      // `--plain-silver` keeps the no-layout form for A/B.
+      val (flags, rest) = rest0.partition(isLayoutFlag)
       if (rest.nonEmpty) { usage(); sys.exit(2) }
-      val buckets = flags.lastOption.flatMap { f =>
-        val n = f.split('=').lift(1).map(_.toInt)
-          .getOrElse(operators.VendasMart.SilverBuckets)
-        if (n > 0) Some(n) else None
-      }
+      val buckets = bucketsOf(flags)
       withSpark { s =>
         val tR0 = System.nanoTime()
         val mart = buckets match {
@@ -132,12 +129,32 @@ object RunPipeline {
       sys.exit(2)
   }
 
+  private[graft] def isLayoutFlag(arg: String): Boolean =
+    arg.startsWith("--bucketed-silver") || arg == "--plain-silver"
+
+  /** Layout-flag resolution for `gold`/`mart`: bucketed silver at
+    * [[operators.VendasMart.SilverBuckets]] unless explicitly widened
+    * (`--bucketed-silver=N`) or disabled (`--plain-silver`, or
+    * `--bucketed-silver=0` so orchestration templates can pass the
+    * flag unconditionally and toggle via a variable). Last flag wins.
+    */
+  private[graft] def bucketsOf(flags: List[String]): Option[Int] =
+    flags.lastOption match {
+      case Some("--plain-silver") => None
+      case Some(f) =>
+        val n = f.split('=').lift(1).map(_.toInt)
+          .getOrElse(operators.VendasMart.SilverBuckets)
+        if (n > 0) Some(n) else None
+      case None => Some(operators.VendasMart.SilverBuckets)
+    }
+
   private def usage(): Unit =
     System.err.println(
       """usage: RunPipeline ingest <bronzeRoot> <silverRoot>
-        |       RunPipeline gold <silverRoot> <goldRoot> [--bucketed-silver[=N]] [jdbcUrl table]
-        |       RunPipeline mart <sfDir> <goldRoot> [--bucketed-silver[=N]]
+        |       RunPipeline gold <silverRoot> <goldRoot> [--bucketed-silver[=N] | --plain-silver] [jdbcUrl table]
+        |       RunPipeline mart <sfDir> <goldRoot> [--bucketed-silver[=N] | --plain-silver]
         |       RunPipeline check <goldRoot> <jdbcUrl> <table>
         |       RunPipeline grain <sfDir>
-        |       RunPipeline <bronzeRoot> <silverRoot> <goldRoot>""".stripMargin)
+        |       RunPipeline <bronzeRoot> <silverRoot> <goldRoot>
+        |(bucketed silver is the default for gold/mart; --plain-silver keeps the no-layout form)""".stripMargin)
 }

@@ -53,6 +53,26 @@ object StreamingBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // Leg selection + runtime-conf pass-through (same contracts as
+    // graft.Bench): `SPARK_GRAFT_STREAM_ONLY=sessionize_tws,...` runs a
+    // subset, `SPARK_GRAFT_CONF="k=v;k2=v2"` pins A/B knobs (e.g. the
+    // RocksDB provider's changelog checkpointing / row-tracking confs)
+    // and is stamped into every leg line so the sidecar self-describes.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def enabled(name: String): Boolean = only.forall(_.contains(name))
+    val confStr = sys.env.getOrElse("SPARK_GRAFT_CONF", "")
+    confStr.split(';').map(_.trim).filter(_.nonEmpty).foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v)
+        case _ => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_CONF entry must be key=value; got '$kv'")
+      }
+    }
+    val confNote =
+      if (confStr.isEmpty) ""
+      else s""""conf":"${confStr.replace("\\", "\\\\").replace("\"", "\\\"")}","""
+
     def rm(p: String): Unit = {
       def del(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
@@ -66,6 +86,7 @@ object StreamingBench {
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
 
     def leg(name: String, rowsIn: Long)(start: => StreamingQuery): Unit = {
+      if (!enabled(name)) return
       val t0 = System.nanoTime()
       val q = start
       q.awaitTermination()
@@ -75,7 +96,7 @@ object StreamingBench {
       val stateMb = state.map(_.memoryUsedBytes).sum / 1e6
       println(s"""{"leg":"$name","rows_in":$rowsIn,"secs":${r1(secs)},""" +
         s""""rows_per_s":${r1(rowsIn / secs)},"state_rows":$stateRows,""" +
-        s""""state_mb":${r1(stateMb)},"sf":"$sfDir"}""")
+        s""""state_mb":${r1(stateMb)},$confNote"sf":"$sfDir"}""")
     }
 
     // --- ingest_csv: stage the events table as a bronze CSV once
@@ -92,7 +113,7 @@ object StreamingBench {
         org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))),
       tsCols = Seq("ts"))
-    events
+    if (enabled("ingest_csv")) events
       .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
         col("user_id"), col("event_type"), col("value"))
       .repartition(32)
@@ -153,9 +174,10 @@ object StreamingBench {
     // are checked against the sf-dir corpus index — the production
     // asymmetry: the big side is the static persisted index, only the
     // incoming batch is hashed fresh.
+    val admissionOn = enabled("admission") || enabled("admission_steady")
     val incoming = graft.Tables.documents(spark, batchDir)
-    val nDocs = incoming.count()
-    incoming
+    val nDocs = if (admissionOn) incoming.count() else 0L
+    if (admissionOn) incoming
       .select(
         (to_timestamp(lit("2024-05-01 08:00:00")) +
           expr("make_interval(0, 0, 0, 0, 0, 0, doc_id % 300)")).as("ts"),
@@ -180,18 +202,20 @@ object StreamingBench {
     // cold leg above deliberately pays the inline index build (the
     // first-ever batch's honest cost); this leg records what every
     // later batch pays. Same incoming docs, fresh checkpoint.
-    val (rawFp, rawIdx) = Streaming.admissionIndex(corpus)
-    val warmFp = rawFp.persist()
-    val warmIdx = rawIdx.persist()
-    val tIdx0 = System.nanoTime()
-    val idxRows = warmFp.count() + warmIdx.count()
-    println(s"""{"leg":"admission_index_build","rows":$idxRows,""" +
-      s""""secs":${r1((System.nanoTime() - tIdx0) / 1e9)},"sf":"$sfDir"}""")
-    leg("admission_steady", nDocs) {
-      Streaming.admissionStreamIndexed(docsStream, warmFp, warmIdx)
-        .writeStream.format("noop")
-        .option("checkpointLocation", s"$work/ckpt_adm_steady")
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    if (enabled("admission_steady")) {
+      val (rawFp, rawIdx) = Streaming.admissionIndex(corpus)
+      val warmFp = rawFp.persist()
+      val warmIdx = rawIdx.persist()
+      val tIdx0 = System.nanoTime()
+      val idxRows = warmFp.count() + warmIdx.count()
+      println(s"""{"leg":"admission_index_build","rows":$idxRows,""" +
+        s""""secs":${r1((System.nanoTime() - tIdx0) / 1e9)},"sf":"$sfDir"}""")
+      leg("admission_steady", nDocs) {
+        Streaming.admissionStreamIndexed(docsStream, warmFp, warmIdx)
+          .writeStream.format("noop")
+          .option("checkpointLocation", s"$work/ckpt_adm_steady")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      }
     }
 
     spark.stop()

@@ -152,4 +152,21 @@ class OlistPipelineSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(mirrored == batch)
   }
+
+  test("pipeline CLI layout flags: bucketed silver is the default, plain the fallback") {
+    import graft.tools.RunPipeline.{bucketsOf, isLayoutFlag}
+    // r18 flip: no flag → bucketed at the code-default width (the
+    // measured at-scale winner at every rung since r11).
+    assert(bucketsOf(Nil).contains(graft.operators.VendasMart.SilverBuckets))
+    assert(bucketsOf(List("--bucketed-silver=128")).contains(128))
+    // The no-layout fallback, both spellings (templates pass
+    // --bucketed-silver=0 unconditionally and toggle via a variable).
+    assert(bucketsOf(List("--plain-silver")).isEmpty)
+    assert(bucketsOf(List("--bucketed-silver=0")).isEmpty)
+    // Last flag wins, and bare --bucketed-silver keeps the default width.
+    assert(bucketsOf(List("--plain-silver", "--bucketed-silver"))
+      .contains(graft.operators.VendasMart.SilverBuckets))
+    assert(isLayoutFlag("--plain-silver") && isLayoutFlag("--bucketed-silver=4"))
+    assert(!isLayoutFlag("jdbc:derby:whatever"))
+  }
 }

@@ -1121,8 +1121,11 @@ class OperatorSpec extends SparkSpec {
   test("index residency priority: demote fewest-reads-first, larger-first among equals") {
     // The r17 lever's decision kernel: demoting frees `bytes` and
     // costs `reads × bytes` of disk re-reads per sweep, so cost per
-    // freed byte = reads. Frames in build order, the measured sf50
-    // shape: once-read postings built BEFORE the twice-read prefix
+    // freed byte = reads. Since r18 the byte input is the build-time
+    // MEMORY-resident size (heap the demotion actually frees); at the
+    // measured sf50 frame shape every frame was fully memory-resident
+    // at build, so the pinned tuples are unchanged. Frames in build
+    // order: once-read postings built BEFORE the twice-read prefix
     // and docsets frames and alongside the tiny thrice-read
     // fingerprints.
     val frames = Seq(
@@ -1147,5 +1150,34 @@ class OperatorSpec extends SparkSpec {
     assert(Dedup.demotionVictim(equalReads) == 1)
     val tied = Seq(("a", 100L, 1.0), ("b", 100L, 1.0), ("c", 100L, 1.0))
     assert(Dedup.demotionVictim(tied) == 2)
+  }
+
+  test("index ladder knobs: validated, conf key named on bad values") {
+    // r18 advice fix: headroomFraction/healTierMaxMB used to parse
+    // with bare .toDouble/.toLong (opaque NumberFormatException), and
+    // an unvalidated headroom >= 1.0 makes the fit target <= 0 —
+    // demoting the ENTIRE resident set including multi-read frames.
+    val s = spark.newSession()
+    assert(Dedup.IndexHolder.confHeadroom(s) == 0.35) // measured default
+    s.conf.set("spark.graft.index.headroomFraction", "0.2")
+    assert(Dedup.IndexHolder.confHeadroom(s) == 0.2)
+    s.conf.set("spark.graft.index.headroomFraction", "0")
+    assert(Dedup.IndexHolder.confHeadroom(s) == 0.0) // A/B repro value
+    for (bad <- Seq("1.0", "1.5", "-0.1", "NaN", "lots")) {
+      s.conf.set("spark.graft.index.headroomFraction", bad)
+      val e = intercept[IllegalArgumentException](Dedup.IndexHolder.confHeadroom(s))
+      assert(e.getMessage.contains("spark.graft.index.headroomFraction"))
+    }
+    assert(Dedup.IndexHolder.confLong(s,
+      "spark.graft.index.healTierMaxMB", 64L, min = 0L) == 64L)
+    s.conf.set("spark.graft.index.healTierMaxMB", "128")
+    assert(Dedup.IndexHolder.confLong(s,
+      "spark.graft.index.healTierMaxMB", 64L, min = 0L) == 128L)
+    for (bad <- Seq("-1", "many")) {
+      s.conf.set("spark.graft.index.healTierMaxMB", bad)
+      val e = intercept[IllegalArgumentException](Dedup.IndexHolder.confLong(s,
+        "spark.graft.index.healTierMaxMB", 64L, min = 0L))
+      assert(e.getMessage.contains("spark.graft.index.healTierMaxMB"))
+    }
   }
 }

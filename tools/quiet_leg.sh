@@ -11,6 +11,28 @@
 # LOUDLY (the leg still self-records its own probes).
 set -euo pipefail
 cd "$(dirname "$0")/.."
+
+# ENOSPC guard (r18, after the r17 sf100 loss to a 13 GB orphaned
+# blockmgr dir): sweep scratch dirs no live JVM owns, then fail FAST —
+# naming the biggest eaters — if /tmp headroom is below the rung's
+# measured working set (LEG_MIN_FREE_GB; default 20, sf100-class legs
+# set 55+: concurrent shuffle+spill there measured up to ~50 GB).
+MIN_FREE_GB=${LEG_MIN_FREE_GB:-20}
+if [ "$(ps -eo args | grep -c '^java .*graft')" -eq 0 ]; then
+  for d in /tmp/blockmgr-* /tmp/spark-*; do
+    [ -d "$d" ] || continue
+    echo "[quiet_leg] sweeping orphaned scratch dir $d ($(du -sh "$d" 2>/dev/null | cut -f1))" >&2
+    rm -rf "$d"
+  done
+fi
+FREE_GB=$(df -BG --output=avail /tmp | tail -1 | tr -dc 0-9)
+if [ "$FREE_GB" -lt "$MIN_FREE_GB" ]; then
+  echo "[quiet_leg] ENOSPC GUARD: /tmp has ${FREE_GB} GB free < required ${MIN_FREE_GB} GB — refusing to launch. Biggest /tmp eaters:" >&2
+  du -sm /tmp/* 2>/dev/null | sort -rn | head -8 >&2
+  exit 28  # ENOSPC
+fi
+echo "[quiet_leg] disk guard ok: ${FREE_GB} GB free >= ${MIN_FREE_GB} GB required" >&2
+
 SPIN_MAX=${QUIET_SPIN_MS:-73}
 PAR_MAX=${QUIET_PAR_MS:-95}
 MEM_MAX=${QUIET_MEM_MS:-16}
