@@ -109,13 +109,23 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
-  /** Inner join + aggregate. part is the dimension side: Catalyst/AQE
-    * broadcast it below the threshold; beyond it, sort-merge with both
-    * sides shuffled on the key.
+  /** Inner join + aggregate. part is the dimension side, and it walks
+    * the counted broadcast → shuffled-hash → sort-merge ladder
+    * ([[VendasMart.dimLadderHint]], r18) instead of Catalyst's static
+    * file-size estimate: past the broadcast budget the static plan
+    * falls to a SortMergeJoin whose cost is the SORT of the enormous
+    * fact side (sf30: 7.1 GB spill, the entire query's spill budget,
+    * attributed by SpillProfile), while the dim side hashes per
+    * partition at a few MB. The shuffled-hash form measured 12.1 vs
+    * 14.6 s min at sf30 with spill → 0 and identical shuffle volume
+    * (`bench_sf30_joinInnerAB_{smj,shj}_r18.json`). At 100 TB the
+    * same ladder degrades to SMJ only for a genuinely fact-sized
+    * right side, where sort-spill robustness is the right tool.
     */
   def joinInner(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
-    val p = Tables.part(spark, sfDir).filter(col("p_size") >= 25)
+    val p = VendasMart.dimLadderHint(spark, sfDir, "part",
+      Tables.part(spark, sfDir).filter(col("p_size") >= 25))
     // Exact decimal revenue — see aggPricing for why money sums must
     // not ride on order-dependent double accumulation.
     val revenue = col("l_extendedprice").cast("decimal(12,2)") *

@@ -413,23 +413,40 @@ object VendasMart {
     dimCount(spark, sfDir, "customer")
   }
 
+  /** The counted dim ladder as a reusable building block (r18): any
+    * big-fact ⋈ dimension join in the registry walks broadcast →
+    * shuffled-hash → sort-merge on the counted bound, not Catalyst's
+    * static file-size estimate. Extracted from the mart when the
+    * q_join_inner SpillProfile walk attributed its entire 7.1 GB sf30
+    * spill to the SORT of the 180M-row fact side feeding a
+    * SortMergeJoin whose dim side was ~100 MB — the exact pathology
+    * the mart's ladder already removed; the A/B
+    * (`bench_sf30_joinInnerAB_{smj,shj}_r18.json`) measured the
+    * shuffled-hash form at 12.1 vs 14.6 s min with spill 7.1 GB → 0
+    * at identical shuffle volume. `spark.graft.mart.dimBroadcast`
+    * ("on"/"off"/"shj") pins a regime for A/Bs.
+    */
+  def dimLadderHint(spark: SparkSession, sfDir: String, dim: String,
+      df: DataFrame): DataFrame =
+    spark.conf.getOption("spark.graft.mart.dimBroadcast")
+      .getOrElse("auto") match {
+      case "on"  => broadcast(df)
+      case "off" => df
+      case "shj" => df.hint("SHUFFLE_HASH")
+      case _ =>
+        val bytes = dimCount(spark, sfDir, dim) * DimRowBytes
+        if (bytes <= DimBroadcastMaxBytes) broadcast(df)
+        else if (bytes <= DimShuffleHashMaxBytes) df.hint("SHUFFLE_HASH")
+        else df
+    }
+
   private def martFrom(spark: SparkSession, sfDir: String,
       li: DataFrame, ord: DataFrame): DataFrame = {
     // Dim ladder (see [[DimRowBytes]]): "auto" walks broadcast →
     // shuffled-hash → sort-merge on the counted bound; "on"/"off"/
     // "shj" pin a regime for A/Bs.
     def dimLadder(dim: String, df: DataFrame): DataFrame =
-      spark.conf.getOption("spark.graft.mart.dimBroadcast")
-        .getOrElse("auto") match {
-        case "on"  => broadcast(df)
-        case "off" => df
-        case "shj" => df.hint("SHUFFLE_HASH")
-        case _ =>
-          val bytes = dimCount(spark, sfDir, dim) * DimRowBytes
-          if (bytes <= DimBroadcastMaxBytes) broadcast(df)
-          else if (bytes <= DimShuffleHashMaxBytes) df.hint("SHUFFLE_HASH")
-          else df
-      }
+      dimLadderHint(spark, sfDir, dim, df)
     val prt = dimLadder("part", Tables.part(spark, sfDir)
       .select("p_partkey", "p_type"))
     val cst = dimLadder("customer", Tables.customer(spark, sfDir)

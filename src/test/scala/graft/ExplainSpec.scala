@@ -86,6 +86,39 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("q_join_inner walks the counted dim ladder (r18: SMJ spill fix)") {
+    // The sf30 SpillProfile walk attributed q_join_inner's entire
+    // 7.1 GB spill to the fact-side SORT of a SortMergeJoin whose dim
+    // side was ~100 MB; the shuffled-hash A/B measured 12.1 vs 14.6 s
+    // with spill -> 0 (bench_sf30_joinInnerAB_*_r18.json). Pin that
+    // the query now rides VendasMart.dimLadderHint: with planner
+    // estimates disabled the counted bound still broadcasts the dim
+    // at spec scale, the shj pin plans a ShuffledHashJoin (the sf30
+    // regime), and off surfaces the SMJ the ladder masks.
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try {
+      val laddered = planOf(Relational.joinInner(spark, sf))
+      assert(laddered.contains("BroadcastHashJoin"), laddered.take(600))
+
+      spark.conf.set("spark.graft.mart.dimBroadcast", "shj")
+      val shj = planOf(Relational.joinInner(spark, sf))
+      assert(shj.contains("ShuffledHashJoin"), shj.take(600))
+
+      spark.conf.set("spark.graft.mart.dimBroadcast", "off")
+      val off = planOf(Relational.joinInner(spark, sf))
+      assert(off.contains("SortMergeJoin"), off.take(600))
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+      spark.conf.unset("spark.graft.mart.dimBroadcast")
+    }
+  }
+
   test("pivot carries the explicit value list (no distinct-discovery job)") {
     // With explicit pivot values the plan is a single aggregate chain;
     // Spark's value-discovery variant would have run a separate job by
