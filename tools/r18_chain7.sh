@@ -22,11 +22,12 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-# Wait for chain 6 itself to exit (its legs own the host; a probe gap
-# between its two sweeps must not read as "done").
-while pgrep -f "tools/r18_chain6.sh" > /dev/null; do
-  sleep 60
-done
+# NOTE: the original waiter (`while pgrep -f tools/r18_chain6.sh`)
+# deadlocked on its own launcher: the interactive shell that spawned
+# this script carried the literal pattern in its cmdline and outlived
+# the launch, so pgrep matched forever. Chain 6 had already finished;
+# the waiter is dropped rather than outsmarted — launch this chain
+# only once the sweeps are done.
 
 rm -rf /tmp/graft_sf1 /tmp/graft_sf10 /tmp/graft_sf30
 
