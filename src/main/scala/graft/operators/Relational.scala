@@ -295,13 +295,28 @@ object Relational {
   /** Counted shuffle width for a sort-heavy stage: enough partitions
     * that `rows × bytesPerRow` fits [[TargetSortBytesPerTask]] per
     * task, never below the session default (small frames keep the
-    * default plan bit-for-bit), capped at 1024 (past that, task
-    * scheduling overhead dominates on any plausible executor count).
+    * default plan bit-for-bit), capped at
+    * `spark.graft.sort.fanOutCap` (default 1024).
+    *
+    * The cap is a conf because its right value is a CLUSTER property,
+    * not an operator property: on this 32-thread single JVM the r16
+    * width matrix showed fan-outs past ~3 tasks/core pay scheduling
+    * and per-file bookkeeping that no spill saving repays, while the
+    * sf100 fanOut A/B showed the counted width WANTS ~6,500
+    * partitions for a 64 MB/task sort set at 10.5 B grid rows — the
+    * formula is right and the single-node cap is the binding
+    * constraint. A 1000-executor deployment (32k cores) should raise
+    * the cap toward `cores × 2-3` so the counted width can breathe;
+    * the default stays at the measured single-node knee. Validated
+    * like the index-ladder knobs: errors name the conf key, min 1.
     */
   private[graft] def sortFanOut(spark: SparkSession, rows: Long, bytesPerRow: Long): Int = {
     val default = spark.sessionState.conf.numShufflePartitions
+    val cap = math.min(
+      Dedup.IndexHolder.confLong(spark, "spark.graft.sort.fanOutCap", 1024L, min = 1L),
+      Int.MaxValue.toLong)
     val need = (rows * bytesPerRow + TargetSortBytesPerTask - 1) / TargetSortBytesPerTask
-    math.min(1024L, math.max(default.toLong, need)).toInt
+    math.min(cap, math.max(default.toLong, need)).toInt
   }
 
   /** Memoized row count of the resample union frame (grid + hourly) —
