@@ -21,10 +21,91 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
   val NanosAsLong = "spark.sql.legacy.parquet.nanosAsLong"
 
+  /** Graft-namespaced selector for `spark.io.compression.codec` —
+    * shuffle blocks, spill files, and serialized cache blocks. A CORE
+    * conf: Spark 4 refuses it at runtime (CANNOT_MODIFY_CONFIG), so
+    * the decision has to live where the session is BUILT. Resolution
+    * order: JVM sysprop `spark.graft.codec` → env `SPARK_GRAFT_CODEC`
+    * → [[DefaultCodec]]. The r18 sf100 legs rode a raw
+    * `-Dspark.io.compression.codec` sysprop through chain scripts
+    * with a note key faking self-description; this key is the shipped
+    * mechanism that replaces that plumbing.
+    */
+  val CodecKey = "spark.graft.codec"
+
+  /** Graft-namespaced selector for `spark.shuffle.spill.compress`
+    * (same build-time-only constraint as [[CodecKey]]; resolution:
+    * sysprop `spark.graft.spill.compress` → env
+    * `SPARK_GRAFT_SPILL_COMPRESS` → [[DefaultSpillCompress]]).
+    *
+    * PER-REGIME rule, both sides measured (SCALE.md r18 codec
+    * probes): leave spill compression OFF while the aggregate sort
+    * spill fits the executor's page cache — compressed spill buys no
+    * wall there and the per-merge-pass decompression is pure tax
+    * (q_text_lm_score 62.8 → 46.6 s, q_text_term_freq 60.9 → 42.9 s
+    * at sf30 under zstd+raw-spill) — and turn it ON when local disk
+    * is the binding budget (at sf100 raw spill would have doubled
+    * resample's 69–79 GB spill footprint and re-ENOSPC'd jaccard).
+    * On a 1000-executor cluster the same rule applies per node:
+    * spill-to-page-cache regimes (large RAM, bounded per-task sort
+    * sets) run raw; disk-bound shuffle-heavy stages compress.
+    */
+  val SpillCompressKey = "spark.graft.spill.compress"
+
+  /** Codecs Spark 4 ships; validation names the key and this list. */
+  val AllowedCodecs: Set[String] = Set("lz4", "zstd", "snappy", "lzf")
+
+  /** Session default codec: lz4 (Spark's own default) until the
+    * clean-for-clean sf30 full-sweep A/B adjudicates the zstd
+    * composite — mechanism-proven at the component level in r18
+    * (exchanges −17–34%, scan kernels neutral, spill-merge kernels
+    * tie-or-win with raw spill) but not flippable on the degraded
+    * r18 sweep evidence.
+    */
+  def DefaultCodec = "lz4"
+  def DefaultSpillCompress = true
+
+  private def resolve(sysprop: String, env: String): Option[String] =
+    sys.props.get(sysprop).orElse(sys.env.get(env)).map(_.trim)
+      .filter(_.nonEmpty)
+
+  /** Effective io codec for sessions built through [[configure]];
+    * throws with the conf key and allowed values on a typo (the
+    * index-ladder knob validation pattern).
+    */
+  def sessionCodec: String = {
+    val c = resolve(CodecKey, "SPARK_GRAFT_CODEC").getOrElse(DefaultCodec)
+    val lc = c.toLowerCase(java.util.Locale.ROOT)
+    require(AllowedCodecs.contains(lc),
+      s"$CodecKey must be one of ${AllowedCodecs.toSeq.sorted.mkString(", ")}; got '$c'")
+    lc
+  }
+
+  /** Effective spill-compression flag (see [[SpillCompressKey]] for
+    * the per-regime guidance); validated true/false.
+    */
+  def sessionSpillCompress: Boolean =
+    resolve(SpillCompressKey, "SPARK_GRAFT_SPILL_COMPRESS") match {
+      case None => DefaultSpillCompress
+      case Some(v) => v.toLowerCase(java.util.Locale.ROOT) match {
+        case "true" => true
+        case "false" => false
+        case other => throw new IllegalArgumentException(
+          s"$SpillCompressKey must be true or false; got '$other'")
+      }
+    }
+
   /** Apply the graft session confs at build time. */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.session.timeZone", "UTC")
       .config(NanosAsLong, "true")
+      // Build-time-only core IO confs (see CodecKey/SpillCompressKey
+      // scaladoc): the codec decision is owned here, not by chain
+      // scripts, so every entry point (Bench, Verify, RunPipeline,
+      // tests) resolves it identically and a leg's _meta can stamp
+      // the effective values from the live conf.
+      .config("spark.io.compression.codec", sessionCodec)
+      .config("spark.shuffle.spill.compress", sessionSpillCompress.toString)
       // Propagate the per-bucket sort order of the bucketed-silver
       // tables (VendasMart.bucketedSilver writes one sorted file per
       // bucket) into join planning — SPARK-28113 made the propagation

@@ -295,8 +295,11 @@ object Relational {
   /** Counted shuffle width for a sort-heavy stage: enough partitions
     * that `rows × bytesPerRow` fits [[TargetSortBytesPerTask]] per
     * task, never below the session default (small frames keep the
-    * default plan bit-for-bit), capped at
-    * `spark.graft.sort.fanOutCap` (default 1024).
+    * default plan bit-for-bit) UNLESS the configured cap is lower —
+    * `spark.graft.sort.fanOutCap` (default 1024) takes precedence
+    * over the session-default floor, so a deliberately tiny cap
+    * narrows even small frames (spec-pinned as the intended
+    * contract: the cap is the operator's hard width ceiling).
     *
     * The cap is a conf because its right value is a CLUSTER property,
     * not an operator property: on this 32-thread single JVM the r16
