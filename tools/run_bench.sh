@@ -8,7 +8,11 @@
 # SPARK_GRAFT_ROUND, SPARK_DRIVER_MEM) pass straight through.
 set -euo pipefail
 cd "$(dirname "$0")/.."
-CP="target/scala-2.13/classes:/opt/spark/jars/*"
+# SPARK_GRAFT_CLASSES: optional classpath snapshot override so a long
+# background leg can run against FROZEN classes while the working tree
+# recompiles (sbt rewriting target/scala-2.13/classes under a running
+# JVM risks NoClassDefFound on lazily-loaded classes mid-leg).
+CP="${SPARK_GRAFT_CLASSES:-target/scala-2.13/classes}:/opt/spark/jars/*"
 ADD_OPENS=""
 for p in java.base/java.lang java.base/java.lang.invoke \
          java.base/java.lang.reflect java.base/java.io java.base/java.net \
