@@ -198,19 +198,55 @@ object Relational {
       .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
       .limit(100)
 
-  /** Top-k per group via row_number — the unique (orderkey, linenumber)
-    * tiebreak makes ranking deterministic in both engines.
+  /** Top-k per group — declared semantics are the row_number window
+    * form (the oracle SQL keeps it, so every round's hash compare
+    * re-proves equivalence), executed as a bounded top-k partial
+    * aggregation ([[graft.functions.TopK]], r19).
+    *
+    * Why not the window plan: Spark's WindowGroupLimit already pushed
+    * a partial k-limit below the exchange (shuffle was ≤ k·|groups|
+    * rows per map task), but the partial limit REQUIRES SORTED INPUT —
+    * the plan carried a full per-partition sort of the fact table
+    * whose only consumer was "keep the first 5 per group". Measured at
+    * sf30/local[32]: 9.97 GB of sort spill, min 49.1 s
+    * (`bench_sf30_wrankAB_window_r19.json`). The TopK aggregate holds
+    * a ≤ k-element buffer per group per task (O(n·k) compares, no
+    * sort, no sort buffer), so the same map-side-bounded shuffle
+    * shape survives with the O(n log n) sort and its spill deleted:
+    * min 8.1 s / median 8.8 s, spill 0
+    * (`bench_sf30_wrankAB_topk_r19.json`, same host, same corpus).
+    * Guide §2.3 "aggregate before you shuffle" + §1.2 "remove work
+    * the query throws away" — 180 M sorted rows of which 15 survive.
+    *
+    * Equivalence: TopK orders (score desc, id asc); the id packs the
+    * unique tiebreak (l_orderkey << 3 | l_linenumber — lossless while
+    * 0 ≤ l_linenumber < 8, which the TPC-H-shaped corpus guarantees
+    * and [[windowRankIdBits]] lets the spec assert), so the survivor
+    * set and order are exactly row_number's (price desc, orderkey,
+    * linenumber) ≤ 5, and rn = position in the best-first array.
     */
   def windowRank(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("l_returnflag")
-      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val packed = shiftleft(col("l_orderkey"), windowRankIdBits) +
+      col("l_linenumber").cast("long")
     Tables.lineitem(spark, sfDir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("l_returnflag"), col("rn"), col("l_orderkey"), col("l_linenumber"),
-        round(col("l_extendedprice"), 4).as("price"))
+      .groupBy("l_returnflag")
+      .agg(graft.functions.TopK.column(5, col("l_extendedprice"), packed).as("top"))
+      .select(col("l_returnflag"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("l_returnflag"),
+        (col("pos") + 1).cast("int").as("rn"),
+        shiftright(col("s").getField("id"), windowRankIdBits).as("l_orderkey"),
+        col("s").getField("id").bitwiseAND(lit((1L << windowRankIdBits) - 1))
+          .cast("int").as("l_linenumber"),
+        round(col("s").getField("score"), 4).as("price"))
       .orderBy("l_returnflag", "rn")
   }
+
+  /** Tiebreak-packing width of [[windowRank]]: l_linenumber must fit
+    * in this many bits for the packed id's ordering to equal
+    * (l_orderkey, l_linenumber). Exposed so the corpus assumption is
+    * spec-assertable rather than silent.
+    */
+  private[graft] val windowRankIdBits = 3
 
   /** Running sum with an explicit ROWS frame — the frame pins the
     * accumulation order, so both engines add the same doubles in the

@@ -205,16 +205,28 @@ class ExplainSpec extends SparkSpec {
         plan.take(2000))
   }
 
-  test("top-k plans stay distributed: partial WindowGroupLimit and TakeOrderedAndProject") {
-    // Top-5-per-group must push a PARTIAL group limit below the
-    // exchange (map-side top-k; the shuffle carries <= k rows per
-    // group per partition) — without it, 3 partitions would absorb
-    // the whole table at scale. Global top-100 must plan
-    // TakeOrderedAndProject (per-partition heaps), never a full sort.
+  test("top-k plans stay distributed: partial TopK aggregate and TakeOrderedAndProject") {
+    // Top-5-per-group runs as a bounded TopK AGGREGATE (r19): partial
+    // map-side buffers of <= k rows per group, no sort of the input
+    // anywhere below the aggregate. The previous WindowGroupLimit plan
+    // already bounded the shuffle but demanded a full per-partition
+    // sort of the fact table (9.97 GB spill at sf30 —
+    // bench_sf30_wrankAB_window_r19.json); the aggregate form deletes
+    // the sort and the window operator entirely. Global top-100 must
+    // still plan TakeOrderedAndProject (per-partition heaps), never a
+    // full sort.
     val rankPlan = planOf(Relational.windowRank(spark, sf))
-    assert(rankPlan.contains("WindowGroupLimit"), rankPlan.take(1500))
-    assert(rankPlan.contains("Partial"),
-      "group limit must run map-side before the exchange:\n" + rankPlan.take(1500))
+    assert(rankPlan.contains("ObjectHashAggregate"), rankPlan.take(1500))
+    assert(!rankPlan.contains("WindowGroupLimit") && !rankPlan.contains("Window ("),
+      "rank query must not fall back to the sort-based window plan:\n" +
+        rankPlan.take(1500))
+    // The only Sort allowed is the final 15-row orderBy ABOVE the
+    // aggregate — never below it (that would be the input sort the
+    // rewrite exists to delete).
+    val aggFirst = rankPlan.indexOf("ObjectHashAggregate")
+    val sortIdx = rankPlan.indexOf("Sort (")
+    assert(sortIdx == -1 || sortIdx < aggFirst,
+      "input-side Sort below the TopK aggregate:\n" + rankPlan.take(1500))
     val sortPlan = planOf(Relational.sortLimit(spark, sf))
     assert(sortPlan.contains("TakeOrderedAndProject"), sortPlan.take(1500))
   }

@@ -1252,4 +1252,72 @@ class OperatorSpec extends SparkSpec {
       assert(e.getMessage.contains(GraftSession.SpillCompressKey))
     }
   }
+
+  // --- windowRank: TopK-aggregate form vs the declared window form ---
+
+  test("windowRank: TopK aggregate form is row-identical to the row_number window form") {
+    // The r19 rewrite executes top-5-per-group as a bounded TopK
+    // partial aggregation; the DECLARED semantics stay the window
+    // form (the oracle SQL keeps it). This spec holds the two forms
+    // together on real corpus data, including whatever price ties the
+    // corpus contains, and pins the packing assumption the id
+    // tiebreak rides on.
+    import org.apache.spark.sql.expressions.Window
+    val sf01 = "/root/testdata/sf0.01"
+    val li = Tables.lineitem(spark, sf01)
+    // Packing assumption: l_linenumber fits the id's low bits.
+    val mm = li.agg(min($"l_linenumber"), max($"l_linenumber")).head()
+    assert(mm.getInt(0) >= 0 &&
+      mm.getInt(1) < (1 << Relational.windowRankIdBits),
+      s"l_linenumber out of packed-id range: $mm")
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+    val reference = li
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"l_returnflag", $"rn", $"l_orderkey", $"l_linenumber",
+        round($"l_extendedprice", 4).as("price"))
+      .orderBy("l_returnflag", "rn")
+    val got = Relational.windowRank(spark, sf01)
+    assert(got.schema.map(f => (f.name, f.dataType)) ==
+      reference.schema.map(f => (f.name, f.dataType)))
+    assert(got.collect().toSeq == reference.collect().toSeq)
+  }
+
+  test("windowRank: ties and short groups match the window form on a constructed frame") {
+    // Constructed corner cases the corpus may not cover: exact price
+    // ties resolved by (orderkey, linenumber), and a group with fewer
+    // than k rows. Driven through the SAME TopK packing as windowRank.
+    val rows = Seq(
+      // flag A: 7 rows, exact tie at 100.0 across three rows
+      ("A", 100.0, 3L, 2), ("A", 100.0, 3L, 1), ("A", 100.0, 2L, 7),
+      ("A", 99.5, 1L, 1), ("A", 101.0, 9L, 4), ("A", 98.0, 5L, 1),
+      ("A", 100.0, 4L, 1),
+      // flag B: only 2 rows (short group)
+      ("B", 1.0, 8L, 3), ("B", 2.0, 7L, 2))
+      .toDF("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+    val packed = shiftleft($"l_orderkey", Relational.windowRankIdBits) +
+      $"l_linenumber".cast("long")
+    val got = rows.groupBy("l_returnflag")
+      .agg(graft.functions.TopK.column(5, $"l_extendedprice", packed).as("top"))
+      .select($"l_returnflag", posexplode($"top").as(Seq("pos", "s")))
+      .select($"l_returnflag", ($"pos" + 1).cast("int").as("rn"),
+        shiftright($"s".getField("id"), Relational.windowRankIdBits).as("k"),
+        $"s".getField("id")
+          .bitwiseAND(lit((1L << Relational.windowRankIdBits) - 1))
+          .cast("int").as("ln"),
+        $"s".getField("score").as("price"))
+      .orderBy("l_returnflag", "rn")
+      .collect().toSeq
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+    val want = rows.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"l_returnflag", $"rn", $"l_orderkey".as("k"),
+        $"l_linenumber".as("ln"), $"l_extendedprice".as("price"))
+      .orderBy("l_returnflag", "rn")
+      .collect().toSeq
+    assert(got == want)
+  }
 }
