@@ -55,14 +55,38 @@ object GraftSession {
   /** Codecs Spark 4 ships; validation names the key and this list. */
   val AllowedCodecs: Set[String] = Set("lz4", "zstd", "snappy", "lzf")
 
-  /** Session default codec: lz4 (Spark's own default) until the
-    * clean-for-clean sf30 full-sweep A/B adjudicates the zstd
-    * composite — mechanism-proven at the component level in r18
-    * (exchanges −17–34%, scan kernels neutral, spill-merge kernels
-    * tie-or-win with raw spill) but not flippable on the degraded
-    * r18 sweep evidence.
+  /** Session default codec: zstd (r19 flip). The r19 sf30 full-sweep
+    * evidence (`bench_sf30_codecAB_{lz4,zstd,zstdcsp,zstdcsp2}_r19`):
+    * zstd exchanges cut summed shuffle bytes 29% (60.4 → 42.6 GB) and
+    * the zstd + compressed-spill sweep beats the clean lz4 control by
+    * 4.0%/4.1% in two independent full sweeps (1,593.1 → 1,529.6 /
+    * 1,528.4 s sum-of-mins), with the wins concentrated exactly where
+    * the mechanism says (shuffle-heavy: dedup_embed −48 s,
+    * corpus_contam, agg_distinct, simhash, jaccard) and the
+    * zero-shuffle scan kernels moving only inside window noise
+    * (inconsistent sign across the two legs). At sf100 zstd is
+    * additionally the disk-fit condition (lz4 shuffle ENOSPC'd the
+    * jaccard rung, r18). At sf0.1 — the driver's bench rung — the
+    * codec is a wash (+1.2% worst case), so the flip does not distort
+    * the local record. lz4 remains one env var away
+    * (SPARK_GRAFT_CODEC=lz4) for A/B reproduction of pre-r19 legs.
     */
-  def DefaultCodec = "lz4"
+  def DefaultCodec = "zstd"
+
+  /** Spill compression default: ON. The r19 composite probe
+    * (`bench_sf30_codecAB_zstd_r19.json`, raw spill) lost 4.2% overall
+    * against lz4 despite winning every shuffle class: raw spill
+    * doubles the dirty-page volume of the mega-spillers (resample
+    * 17.3 → 31.6 GB, 32.8 → 109.6 s; plain mart 16.2 → 24.1 GB,
+    * 143.8 → 213.3 s) and crosses the writeback knee (~12–15 GB per
+    * query on this host) that the r18 component probes — 11.5/3.8 GB
+    * spill — sat just under. The r18 per-regime prose survives with a
+    * measured boundary: raw spill only pays while a query's WHOLE
+    * spill set stays well inside page cache; past the knee the kernel
+    * throttles the writer to device speed and compression is the
+    * cheaper tax. Disk-bound rungs (sf100) additionally need
+    * compressed spill to fit at all.
+    */
   def DefaultSpillCompress = true
 
   private def resolve(sysprop: String, env: String): Option[String] =
