@@ -272,8 +272,28 @@ object Analytics {
       .agg(
         count(lit(1)).as("n_rows"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
-    val orders = li
-      .select(col("l_returnflag"), col("l_orderkey")).distinct()
+    // Distinct-branch shape (r20 A/B knob; guide §2.3/§5). "map"
+    // (Spark's default plan): partial HashAggregate on (flag,
+    // orderkey) BEFORE the exchange — on this key the map-side
+    // reduction is only 1.77× (180 M → 101.7 M rows at sf30) and the
+    // per-task hash over ~7 M input rows overflows into sort-fallback,
+    // 18 GB of spill for the bytes it saves. "shuffle": repartition by
+    // the grouping key FIRST, so the (now partition-local) partial +
+    // final aggregates see ~|distinct|/parts groups each — a hash that
+    // fits, no sort fallback — at the cost of exchanging raw (flag,
+    // orderkey) pairs. The exchange is AQE-coalescible (no pinned
+    // partition count). Default decided by the sf30 pair in
+    // OPTIMIZATION_r20.md.
+    val distinctIn = li.select(col("l_returnflag"), col("l_orderkey"))
+    val distinctPairs = spark.conf.getOption("spark.graft.approx.distinctShape")
+      .getOrElse("shuffle") match {
+      case "map" => distinctIn.distinct()
+      case "shuffle" =>
+        distinctIn.repartition(col("l_returnflag"), col("l_orderkey")).distinct()
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.approx.distinctShape must be map or shuffle; got '$other'")
+    }
+    val orders = distinctPairs
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("exact_orders"),

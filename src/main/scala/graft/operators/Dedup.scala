@@ -1314,15 +1314,37 @@ object Dedup {
       planesPerBand: Int = EmbedPlanesPerBand): DataFrame = {
     val nBands = embedBands(planesPerBand)
     // Banding reads the raw float vectors (HyperplaneBands widens per
-    // element — bit-identical to banding the double-cast array).
+    // element — bit-identical to banding the double-cast array). Each
+    // exploded row CARRIES the full per-band bucket array (`bks`,
+    // nBands ≤ 12 longs ≈ 100 B/row) alongside its own (band, bucket):
+    // the first-collision-band filter below reads the earlier bands.
     val banded = embs.select(col("vec_id"),
-      posexplode(Similarity.bandedBuckets(col("embedding"), nBands, planesPerBand))
-        .as(Seq("band", "bucket")))
+        Similarity.bandedBuckets(col("embedding"), nBands, planesPerBand).as("bks"))
+      .select(col("vec_id"), col("bks"),
+        posexplode(col("bks")).as(Seq("band", "bucket")))
+    // First-collision-band ownership (r20): a pair that collides in k
+    // bands used to surface k times from the band equi-join and get
+    // deduplicated by a global `distinct` — whose partial/final
+    // HashAggregate over the candidate stream was the query's entire
+    // 16.0 GB sort-fallback spill at sf30 (guide §2.3/§5; SpillProfile
+    // attribution in OPTIMIZATION_r20.md). Emitting a pair only from
+    // its FIRST colliding band makes the join output duplicate-free by
+    // construction, deleting the distinct's exchange + both aggregates
+    // outright. The earlier-band test is a static O(nBands) chain of
+    // codegen-friendly element_at comparisons (never a lambda/HOF —
+    // those fall back to interpreted eval in the join's hot loop), and
+    // x.band === y.band inside the join makes testing x.band alone
+    // sufficient. Cost: `bks` rides the one banded exchange (~5× its
+    // bytes, which the candidate-exchange deletion repays many times —
+    // A/B in OPTIMIZATION_r20.md).
+    val earlierCollision = (0 until nBands - 1).map { e =>
+      col("x.band") > e &&
+        element_at(col("x.bks"), e + 1) === element_at(col("y.bks"), e + 1)
+    }.reduceOption(_ || _).getOrElse(lit(false))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.vec_id") < col("y.vec_id"))
+          col("x.vec_id") < col("y.vec_id") && !earlierCollision)
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-      .distinct()
     // The verify join's shuffled payload is the dominant cost term of
     // the whole query: the (a_id, b_id, a-vector) intermediate is
     // re-shuffled by b_id for the second join, so its bytes scale with
@@ -1430,33 +1452,53 @@ object Dedup {
       .localCheckpoint()
     val members = edges.select(col("src").as("doc_id")).distinct()
     var labels = members.withColumn("label", col("doc_id")).localCheckpoint()
-    var changed = 1L
+    // FRONTIER propagation (r20, guide §2.4): a doc's label can only
+    // drop because a NEIGHBOR'S label dropped in the previous pass, so
+    // after the first full pass each iteration only needs to push the
+    // labels that just changed — not re-join the entire edge list
+    // against the entire label frame. On the clique-union graphs LSH
+    // produces, the frontier collapses after pass 1 (most docs adopt
+    // their component minimum immediately), so iterations 2..D run
+    // against frames AQE broadcasts: the full-propagation loop paid
+    // ~3 shuffles of O(|E|)+O(V) per iteration; this pays them once.
+    // Same fixpoint, same iteration count (the diameter-20 chain spec
+    // pins both): pass k of either loop knows exactly the labels
+    // reachable in k hops, and the update rule (adopt the min of own
+    // and neighbors' labels) is monotone — the frontier restriction
+    // drops only join rows that provably cannot change a label.
+    var frontier = labels
+    var frontierN = 1L
     var iter = 0
     // Iterations needed = component diameter. Near-dup components are
     // clique unions (diameter ≲ 5); 50 covers any plausible corpus.
     // If the guard trips, fail loudly — silently emitting unconverged
     // labels would under-merge clusters.
     val MaxIters = 50
-    while (changed > 0 && iter < MaxIters) {
-      // Each doc adopts min(own label, neighbors' labels). The old
-      // label rides along into the checkpoint so the convergence check
-      // is a filter-count over the materialized frame — one job per
-      // iteration instead of a second join job.
-      val next = edges
-        .join(labels.withColumnRenamed("doc_id", "src")
+    while (frontierN > 0 && iter < MaxIters) {
+      // Labels that drop this pass: min incoming frontier label per
+      // neighbor, kept only where it beats the current label.
+      val updates = edges
+        .join(frontier.withColumnRenamed("doc_id", "src")
           .withColumnRenamed("label", "src_label"), Seq("src"))
         .groupBy(col("dst").as("doc_id"))
         .agg(min("src_label").as("nbr_label"))
-        .join(labels, Seq("doc_id"), "right")
-        .select(col("doc_id"),
-          least(coalesce(col("nbr_label"), col("label")), col("label")).as("label"),
-          col("label").as("old"))
+        .join(labels, Seq("doc_id"))
+        .filter(col("nbr_label") < col("label"))
+        .select(col("doc_id"), col("nbr_label").as("label"))
         .localCheckpoint()
-      changed = next.filter(col("label") =!= col("old")).count()
-      labels = next.select("doc_id", "label")
+      frontierN = updates.count()
+      if (frontierN > 0) {
+        labels = labels.as("l")
+          .join(updates.withColumnRenamed("label", "upd").as("u"),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("upd"), col("l.label")).as("label"))
+          .localCheckpoint()
+        frontier = updates
+      }
       iter += 1
     }
-    if (changed > 0) throw new IllegalStateException(
+    if (frontierN > 0) throw new IllegalStateException(
       s"near-dup label propagation did not converge in $MaxIters iterations")
     lastPropagationIters = iter
     labels

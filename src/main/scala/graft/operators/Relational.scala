@@ -147,11 +147,28 @@ object Relational {
       .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("total"), col("o_orderstatus"))
   }
 
-  /** Left-anti join (NOT EXISTS): orders that never shipped an item. */
+  /** Left-anti join (NOT EXISTS): orders that never shipped an item.
+    *
+    * Existence only needs the DISTINCT right-side keys (r20, guide
+    * §2.3/§3): the raw form sort-merge-joined orders against the full
+    * fact-side key stream — two SMJ sorts whose 7.2 GB sf30 spill was
+    * the query's whole cost. Pre-reducing to `distinct` keys is a
+    * map-side partial aggregate (the fact table is clustered by
+    * orderkey, so per-task key sets are ~rows/4 — a small hash, no
+    * sort fallback) that shrinks the exchange 4×, and the reduced
+    * build side then walks the counted ladder
+    * ([[VendasMart.dimLadderHint]] on the orders bound — distinct
+    * lineitem orderkeys ⊆ orders): broadcast under 512 MB,
+    * shuffled-hash to 8 GB (keys-only LongHashedRelation, no sorts on
+    * either side), SMJ only once the key set is genuinely fact-sized.
+    * Anti-join semantics are untouched by the reduction — `===` never
+    * matches NULL and duplicate keys add nothing to existence.
+    */
   def joinAnti(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
-    val li = Tables.lineitem(spark, sfDir)
-    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+    val liKeys = VendasMart.dimLadderHint(spark, sfDir, "orders",
+      Tables.lineitem(spark, sfDir).select(col("l_orderkey")).distinct())
+    o.join(liKeys, o("o_orderkey") === liKeys("l_orderkey"), "left_anti")
       .select(col("o_orderkey"), col("o_orderstatus"), round(col("o_totalprice"), 4).as("total"))
   }
 
@@ -160,9 +177,18 @@ object Relational {
     */
   def joinLeftFill(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
-    val agg = Tables.lineitem(spark, sfDir)
-      .groupBy("l_orderkey")
-      .agg(sum("l_extendedprice").as("items_total_raw"), count(lit(1)).as("n_raw"))
+    // The aggregate emits at most one row per orderkey, so the build
+    // side is bounded by the counted orders ladder (r20, guide §3 —
+    // same rung logic as [[joinAnti]]): a broadcast/shuffled-hash
+    // right side deletes BOTH SMJ sorts (13.99 GB of the query's sf30
+    // spill; the aggregate's own partial phase keeps its 4× map-side
+    // reduction either way). LEFT-outer probe with BuildRight is the
+    // hash-join shape Spark supports natively; null-fill semantics are
+    // join-strategy-independent.
+    val agg = VendasMart.dimLadderHint(spark, sfDir, "orders",
+      Tables.lineitem(spark, sfDir)
+        .groupBy("l_orderkey")
+        .agg(sum("l_extendedprice").as("items_total_raw"), count(lit(1)).as("n_raw")))
     o.join(agg, o("o_orderkey") === agg("l_orderkey"), "left")
       .select(col("o_orderkey"),
         round(coalesce(col("items_total_raw"), lit(0.0)), 4).as("items_total"),
@@ -245,6 +271,16 @@ object Relational {
     * in this many bits for the packed id's ordering to equal
     * (l_orderkey, l_linenumber). Exposed so the corpus assumption is
     * spec-assertable rather than silent.
+    *
+    * Enforcement (ADVICE r19): the spec asserts the bound on the test
+    * corpus, and the per-round DuckDB oracle hash compare is the
+    * production guard — a violating corpus reorders ties vs the
+    * declared row_number form and fails the differential loudly. A
+    * per-row raise_error branch inside the packed expression was
+    * considered and rejected: it would tax every one of the fact
+    * table's rows in exactly the hot aggregate the r19 rewrite exists
+    * to keep branch-free, to catch a corpus the oracle already
+    * catches.
     */
   private[graft] val windowRankIdBits = 3
 

@@ -399,6 +399,14 @@ object VendasMart {
     dimCountCache.getOrElseUpdate((spark, sfDir, dim), dim match {
       case "part"     => Tables.part(spark, sfDir).count()
       case "customer" => Tables.customer(spark, sfDir).count()
+      // Not a dimension, but the same counted-bound role (r20): orders'
+      // row count bounds the BUILD side of the orderkey-grouped joins
+      // (q_join_left_fill's aggregate, q_join_anti's distinct keys —
+      // both emit at most one row per orderkey), so the SHJ-vs-SMJ
+      // rung of the ladder can be decided from a metadata-cheap count
+      // exactly like part/customer. count() over parquet is a
+      // footer-statistics job — no data pages are read.
+      case "orders"   => Tables.orders(spark, sfDir).count()
       case other => throw new IllegalArgumentException(s"unknown dim: $other")
     })
   }

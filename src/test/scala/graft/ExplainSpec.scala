@@ -222,10 +222,14 @@ class ExplainSpec extends SparkSpec {
         rankPlan.take(1500))
     // The only Sort allowed is the final 15-row orderBy ABOVE the
     // aggregate — never below it (that would be the input sort the
-    // rewrite exists to delete).
+    // rewrite exists to delete). Formatted trees print parents first,
+    // so the LAST Sort occurrence must still precede the FIRST
+    // aggregate — indexOf-vs-indexOf was vacuous (the legit top-level
+    // Sort always precedes the aggregate; an extra input-side Sort
+    // printed later went unchecked — ADVICE r19).
     val aggFirst = rankPlan.indexOf("ObjectHashAggregate")
-    val sortIdx = rankPlan.indexOf("Sort (")
-    assert(sortIdx == -1 || sortIdx < aggFirst,
+    val sortLast = rankPlan.lastIndexOf("Sort (")
+    assert(sortLast == -1 || sortLast < aggFirst,
       "input-side Sort below the TopK aggregate:\n" + rankPlan.take(1500))
     val sortPlan = planOf(Relational.sortLimit(spark, sf))
     assert(sortPlan.contains("TakeOrderedAndProject"), sortPlan.take(1500))

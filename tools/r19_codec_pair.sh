@@ -1,6 +1,14 @@
 #!/usr/bin/env bash
-# Round-19 sf30 clean-for-clean codec pair (the flip gate, VERDICT r18
-# item 1), re-planned for this round's slower, burstier host:
+# Round-19 sf30 clean-for-clean codec pair — NOTE (ADVICE r19): this
+# pair is the PRE-REGISTERED COMPOSITE probe (lz4+compressed vs
+# zstd+RAW spill), i.e. the leg pair whose zstd side lost 4.2% and
+# REJECTED the raw-spill composite; it is not the pair that justified
+# the shipped zstd+compressed-spill default. The decisive zstdcsp legs
+# were run with the same env plumbing but SPARK_GRAFT_SPILL_COMPRESS=
+# true (see tools/r20_codec_confirm.sh for the committed runner of
+# that configuration, and GraftSession.DefaultCodec's scaladoc for the
+# evidence chain). Originally re-planned for r19's slower, burstier
+# host:
 #
 #   - attempts=1 per side (the r18 rung ran 2): halves the window a
 #     burst can poison; the per-attempt spin probes in each sidecar
