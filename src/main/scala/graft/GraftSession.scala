@@ -55,23 +55,26 @@ object GraftSession {
   /** Codecs Spark 4 ships; validation names the key and this list. */
   val AllowedCodecs: Set[String] = Set("lz4", "zstd", "snappy", "lzf")
 
-  /** Session default codec: zstd (r19 flip). The r19 sf30 full-sweep
-    * evidence (`bench_sf30_codecAB_{lz4,zstd,zstdcsp,zstdcsp2}_r19`):
-    * zstd exchanges cut summed shuffle bytes 29% (60.4 → 42.6 GB) and
-    * the zstd + compressed-spill sweep beats the clean lz4 control by
-    * 4.0%/4.1% in two independent full sweeps (1,593.1 → 1,529.6 /
-    * 1,528.4 s sum-of-mins), with the wins concentrated exactly where
-    * the mechanism says (shuffle-heavy: dedup_embed −48 s,
-    * corpus_contam, agg_distinct, simhash, jaccard) and the
-    * zero-shuffle scan kernels moving only inside window noise
-    * (inconsistent sign across the two legs). At sf100 zstd is
-    * additionally the disk-fit condition (lz4 shuffle ENOSPC'd the
-    * jaccard rung, r18). At sf0.1 — the driver's bench rung — the
-    * codec is a wash (+1.2% worst case), so the flip does not distort
-    * the local record. lz4 remains one env var away
-    * (SPARK_GRAFT_CODEC=lz4) for A/B reproduction of pre-r19 legs.
+  /** Session default codec: lz4 (r20 revert of the r19 zstd flip, by
+    * the flip's own pre-registered gate). The r19 flip shipped on two
+    * full sweeps that both stamped `bandwidth_class: "degraded"`
+    * (1,529.6 / 1,528.4 s vs lz4's clean 1,593.1); the round-20
+    * clean-window confirm leg (`bench_sf30_codecAB_zstdcsp_clean_r20`,
+    * frozen r19-end classes, code-identical to the lz4 control) came
+    * back 1,634.4 s — total sum-of-mins ABOVE the lz4 control (+2.6%)
+    * and the zero-shuffle text-kernel control class +6–27%, outside
+    * the gate's ±5% band (`tools/r20_codec_confirm.sh`). The
+    * text-kernel drift also shows leg-to-leg CPU noise exceeds the
+    * codec effect on this host, so the honest reading is "wash within
+    * noise" — and the gate's else-branch is revert. The MECHANISM
+    * stays real and measured: zstd exchanges cut summed shuffle bytes
+    * 29% (60.4 → 42.6 GB, r19 pair), which is why disk-bound rungs
+    * (sf100, where lz4 shuffle ENOSPC'd the jaccard leg in r18) and
+    * network-bound clusters should pin SPARK_GRAFT_CODEC=zstd — the
+    * sf100 chain scripts do. At sf0.1, the driver's bench rung, the
+    * codec is a wash (±1.2%) in either direction.
     */
-  def DefaultCodec = "zstd"
+  def DefaultCodec = "lz4"
 
   /** Spill compression default: ON. The r19 composite probe
     * (`bench_sf30_codecAB_zstd_r19.json`, raw spill) lost 4.2% overall

@@ -1312,6 +1312,35 @@ object Dedup {
     */
   def embeddingPairsOf(embs: DataFrame,
       planesPerBand: Int = EmbedPlanesPerBand): DataFrame = {
+    val cand = embedCandidatesOf(embs, planesPerBand)
+    // The verify join's shuffled payload is the dominant cost term of
+    // the whole query: the (a_id, b_id, a-vector) intermediate is
+    // re-shuffled by b_id for the second join, so its bytes scale with
+    // CANDIDATES × vector width (r8 measured 548 MB of the sf3 query's
+    // shuffle here). Carry the RAW float vectors (~260 B/row) instead
+    // of their double cast plus a precomputed norm (~530 B/row) and do
+    // all arithmetic after the last shuffle — DotProduct widens floats
+    // per element, so cosine is bit-identical to the double-array form
+    // while the shuffle halves. Norms are recomputed per candidate
+    // (128 flops) — arithmetic is three orders of magnitude cheaper
+    // than shuffle bytes at this shape.
+    val a = embs.select(col("vec_id").as("a_id"), col("embedding").as("av"))
+    val b = embs.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+    cand.join(a, Seq("a_id")).join(b, Seq("b_id"))
+      .withColumn("cosine",
+        dot(col("av"), col("bv")) / (l2norm(col("av")) * l2norm(col("bv"))))
+      .filter(col("cosine") >= CosineThreshold)
+      .select(col("a_id"), col("b_id"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Candidate stage of [[embeddingPairsOf]], exposed for the
+    * first-collision-band equivalence spec: emits each colliding
+    * (a_id, b_id) pair EXACTLY once. The verify stage above is a pure
+    * per-pair function, so candidate-set equality with the old
+    * global-distinct form implies output equality.
+    */
+  private[graft] def embedCandidatesOf(embs: DataFrame,
+      planesPerBand: Int): DataFrame = {
     val nBands = embedBands(planesPerBand)
     // Banding reads the raw float vectors (HyperplaneBands widens per
     // element — bit-identical to banding the double-cast array). Each
@@ -1341,28 +1370,10 @@ object Dedup {
       col("x.band") > e &&
         element_at(col("x.bks"), e + 1) === element_at(col("y.bks"), e + 1)
     }.reduceOption(_ || _).getOrElse(lit(false))
-    val cand = banded.as("x").join(banded.as("y"),
+    banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id") && !earlierCollision)
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-    // The verify join's shuffled payload is the dominant cost term of
-    // the whole query: the (a_id, b_id, a-vector) intermediate is
-    // re-shuffled by b_id for the second join, so its bytes scale with
-    // CANDIDATES × vector width (r8 measured 548 MB of the sf3 query's
-    // shuffle here). Carry the RAW float vectors (~260 B/row) instead
-    // of their double cast plus a precomputed norm (~530 B/row) and do
-    // all arithmetic after the last shuffle — DotProduct widens floats
-    // per element, so cosine is bit-identical to the double-array form
-    // while the shuffle halves. Norms are recomputed per candidate
-    // (128 flops) — arithmetic is three orders of magnitude cheaper
-    // than shuffle bytes at this shape.
-    val a = embs.select(col("vec_id").as("a_id"), col("embedding").as("av"))
-    val b = embs.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
-    cand.join(a, Seq("a_id")).join(b, Seq("b_id"))
-      .withColumn("cosine",
-        dot(col("av"), col("bv")) / (l2norm(col("av")) * l2norm(col("bv"))))
-      .filter(col("cosine") >= CosineThreshold)
-      .select(col("a_id"), col("b_id"), round(col("cosine"), 4).as("cosine"))
   }
 
   /** The registry entry: derives the plane count from the MEMOIZED

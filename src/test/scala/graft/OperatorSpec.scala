@@ -218,6 +218,45 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("first-collision-band candidate ownership emits exactly the distinct pair set") {
+    // r20 rewrite guard: embeddingPairsOf now emits each candidate
+    // pair only from its FIRST colliding band (duplicate-free by
+    // construction) instead of a global distinct over the band join.
+    // Hold the new form to the old one on frames where pairs collide
+    // in MANY bands (identical vectors collide in all of them) — the
+    // regime where a wrong earlier-band test would emit duplicates or,
+    // inverted, drop pairs that only collide late.
+    import graft.operators.Similarity
+    val base = (0 until 64).map(j => math.cos(j * 0.7).toFloat)
+    val twin = base.updated(3, base(3) + 0.005f)
+    val embs = Seq(
+      1L -> base, 2L -> base, 3L -> twin,          // all-band colliders
+      4L -> base.map(x => -x),                      // anti-parallel: no pair
+      5L -> (0 until 64).map(j => math.sin(3.1 * j + 0.5).toFloat)
+    ).toDF("vec_id", "embedding")
+    for (df <- Seq(embs, Tables.embeddings(spark, sf))) {
+      val nBands = Dedup.embedBands(Dedup.EmbedPlanesPerBand)
+      val banded = df.select(col("vec_id"),
+        posexplode(Similarity.bandedBuckets(col("embedding"), nBands,
+          Dedup.EmbedPlanesPerBand)).as(Seq("band", "bucket")))
+      val oldForm = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      // The verify stage above the candidates is a pure per-pair
+      // function (join embeddings back, cosine, filter), so holding
+      // the CANDIDATE sets equal holds the query outputs equal.
+      val newForm = Dedup.embedCandidatesOf(df, Dedup.EmbedPlanesPerBand)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(newForm.length == newForm.distinct.length,
+        s"first-collision ownership emitted duplicates: ${newForm.toSeq}")
+      assert(newForm.toSet == oldForm.toSet,
+        s"pair set drifted from the distinct form: " +
+          s"extra=${newForm.toSet.diff(oldForm.toSet)} missing=${oldForm.toSet.diff(newForm.toSet)}")
+    }
+  }
+
   test("embed band plan: integer ladder pins, recall contract at every rung") {
     import Dedup._
     // The floor regime is the historical 4×8 layout, byte-identical to
